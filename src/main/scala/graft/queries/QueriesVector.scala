@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Registry.tbl
+
+/** Similarity search over the embeddings table (builder brief): brute-force
+  * cosine top-k as the correctness baseline, an IVF-style cell-restricted
+  * variant as the scale path, and a nearest-neighbor near-dup scan.
+  *
+  * Dot products are computed as a sequential left fold over the
+  * double-cast elements (zip_with + aggregate) so the DuckDB oracle's
+  * list_dot_product produces bit-identical doubles; results round to 6
+  * decimals to absorb any final-ulp noise.
+  */
+object QueriesVector {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** embeddings with double-cast vector + precomputed norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  private val duckVecs: String =
+    """vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** Brute-force cosine top-k for the first 10 vectors as queries. */
+  private val q28 = Q("q28_ann_brute_topk",
+    (s, dir) => {
+      val q = vecs(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val n = vecs(s, dir)
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      broadcast(q).join(
+        n.repartition(s.sparkContext.defaultParallelism, col("n_id")),
+        col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    },
+    Some(
+      s"""WITH $duckVecs,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vecs WHERE vec_id < 10),
+         |p AS (SELECT q_id, n.vec_id AS n_id,
+         |  list_dot_product(qv, n.v) / (qn * n.nrm) AS cos
+         |  FROM q JOIN vecs n ON q_id != n.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+         |SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM r
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
+
+  /** IVF-style ANN: `label` is the coarse-quantizer cell — search only
+    * within the query's cell (at 100 TB this is the bucketed/partitioned
+    * path: co-partition by cell id, no all-pairs shuffle).
+    */
+  private val q29 = Q("q29_ann_ivf_label",
+    (s, dir) => {
+      val q = vecs(s, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val n = vecs(s, dir)
+        .select(col("vec_id").as("n_id"), col("label"),
+          col("v").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      q.repartition(s.sparkContext.defaultParallelism, col("q_id"))
+        .join(broadcast(n), Seq("label"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("label"), col("n_id"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("label"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    },
+    Some(
+      s"""WITH $duckVecs,
+         |q AS (SELECT vec_id AS q_id, label, v AS qv, nrm AS qn FROM vecs WHERE vec_id < 50),
+         |p AS (SELECT q_id, q.label, n.vec_id AS n_id,
+         |  list_dot_product(qv, n.v) / (qn * n.nrm) AS cos
+         |  FROM q JOIN vecs n ON q.label = n.label AND q_id != n.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+         |SELECT q_id, label, n_id, rank, round(cos, 6) AS cos FROM r
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** Embedding near-dup scan: nearest neighbor per vector within its cell,
+    * with a cosine-threshold near-dup flag.
+    */
+  private val q30 = Q("q30_dedup_embed_nn",
+    (s, dir) => {
+      val a = vecs(s, dir)
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+      val b = vecs(s, dir)
+        .select(col("vec_id").as("n_id"), col("label"),
+          col("v").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      a.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .join(broadcast(b), Seq("label"))
+        .filter(col("vec_id") =!= col("n_id"))
+        .select(col("vec_id"), col("n_id"),
+          (dot(col("v"), col("nv")) / (col("nrm") * col("nn"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("vec_id"), col("n_id"), round(col("cos"), 6).as("cos"),
+          (col("cos") >= 0.9).cast("int").as("is_near_dup"))
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""WITH $duckVecs,
+         |p AS (SELECT a.vec_id, b.vec_id AS n_id,
+         |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id != b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+         |SELECT vec_id, n_id, round(cos, 6) AS cos,
+         |  CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END AS is_near_dup
+         |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q28, q29, q30)
+}
