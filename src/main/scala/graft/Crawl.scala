@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.ckpt.SnapshotStore
+import graft.engine.EpochDriver
+import graft.gen.SimWeb
+
+/** CLI entry for the crawl engine — the spark-submit surface of the north
+  * rule. Runs (or resumes) an epoch loop over the simulated web and prints
+  * one JSON line with per-epoch counters and URLs-fetched+deduped/sec.
+  *
+  * Usage: runMain graft.Crawl <storeDir> <seeds> <nHosts> <epochs> [budgetMs]
+  * Parallelism/partitions come from SPARK_GRAFT_CPUS (default 32) so the
+  * same job can be run at two cluster sizes for the scaling-efficiency
+  * evidence (BASELINE.md protocol).
+  */
+object Crawl {
+  def main(args: Array[String]): Unit = {
+    val storeDir = args.lift(0).getOrElse("target/crawl-store")
+    val nSeeds = args.lift(1).map(_.toInt).getOrElse(200)
+    val nHosts = args.lift(2).map(_.toInt).getOrElse(50)
+    val epochs = args.lift(3).map(_.toInt).getOrElse(3)
+    val budgetMs = args.lift(4).map(_.toLong).getOrElse(60000L)
+    val seed = 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(spark)
+
+    if (sys.env.contains("SPARK_GRAFT_PROFILE")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val dur = for {
+              a <- i.submissionTime; b <- i.completionTime
+            } yield b - a
+            System.err.println(
+              f"[stage] ${i.stageId}%4d tasks=${i.numTasks}%4d wall=${dur.getOrElse(-1L)}%6dms cpu=${i.taskMetrics.executorRunTime}%7dms ${i.name.take(60)}")
+          }
+        })
+    }
+
+    val store = new SnapshotStore(storeDir, spark)
+    val driver = new EpochDriver(spark, store, seed, nHosts,
+      epochBudgetMs = budgetMs)
+    if (store.latest().isEmpty)
+      driver.init(SimWeb.seedUrls(nSeeds, nHosts, seed))
+
+    val t0 = System.nanoTime()
+    val metrics = driver.run(epochs)
+    val dt = (System.nanoTime() - t0) / 1e9
+    val fetched = metrics.map(_("fetched")).sum
+    val discovered = metrics.map(_("discovered")).sum
+    val emitted = metrics.map(_("emitted")).sum
+    val urlsPerSec = (fetched + discovered) / dt
+    val epochJson = metrics.map(m =>
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+    println(
+      s"""{"metric":"urls_fetched_plus_deduped_per_sec","value":$urlsPerSec,"unit":"urls/sec","wall_sec":$dt,"fetched":$fetched,"discovered":$discovered,"emitted":$emitted,"epochs":$epochJson,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

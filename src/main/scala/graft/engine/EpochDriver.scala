@@ -1,0 +1,185 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ckpt.SnapshotStore
+import graft.fetch.FetchSim
+import graft.functions.Canon
+import graft.operators.{Bloom, Extract, Sched, Seen}
+
+/** Epoch-loop crawl engine (SURVEY.md §3.1 Spark trace; north rule).
+  *
+  * One epoch = one batch job (the reference runs one job at a time behind
+  * its `is_crawling_running` flag, src/main.py:56-62 — T1): rank the pending
+  * frontier per host under the virtual-time politeness budget, fetch the
+  * batch through the partition-local simulator, extract + canonicalize
+  * outbound URLs, drop seen ones (Bloom prefilter + exact anti-join), and
+  * commit frontier/seen/lineage/metrics as one atomic snapshot. Every epoch
+  * is resumable: state lives only in the snapshot store.
+  */
+final class EpochDriver(
+    spark: SparkSession,
+    store: SnapshotStore,
+    seed: Long,
+    nHosts: Int,
+    epochBudgetMs: Long = 10000L,
+    saltBuckets: Int = 64,
+    maxRetries: Int = 3,
+    bloomSegments: Int = 8,
+    bloomBitsPerSegment: Int = 1 << 16,
+    useBloom: Boolean = true) {
+
+  import spark.implicits._
+
+  private val defaultDelayMs = 2500L
+  private def robots = Sched.robotsDf(spark,
+    (0 until nHosts).map(graft.gen.SimWeb.hostName), seed)
+
+  /** Initialize snapshot v0 from the ordered seed list. */
+  def init(seedUrls: Seq[String]): Unit = {
+    require(store.latest().isEmpty, "store already initialized")
+    val raw = seedUrls.toDF("url")
+    val canoned = Canon.canonicalize(raw, "url", "https://unknown.example.com")
+      .filter(Canon.isHttp(col("canon_url")))
+      .select("canon_url", "host").distinct()
+    val frontier = Sched.allowed(canoned, robots, defaultDelayMs)
+      .select(col("canon_url"), col("host"),
+        lit(0).as("depth"), lit(1.0).as("score"),
+        lit("pending").as("state"), lit(0).as("retry_count"),
+        lit(0L).as("discovered_epoch"))
+    val seen = frontier.select("canon_url")
+    store.commit(0L,
+      replace = Map("frontier" -> frontier),
+      append = Map("seen" -> seen,
+        "seen_bloom" -> Bloom.buildSegments(seen, "canon_url", bloomSegments, bloomBitsPerSegment)),
+      counters = Map("seeds" -> frontier.count()))
+    ()
+  }
+
+  /** Run one epoch on top of the latest snapshot; returns epoch metrics. */
+  def runEpoch(): Map[String, Long] = {
+    val m = store.latest().getOrElse(sys.error("store not initialized"))
+    val epoch = m.epoch + 1
+    val frontier = store.readTable(m, "frontier").get
+    val seen = store.readTable(m, "seen").get
+
+    // ---- schedule: W2 rank + T4 budget over the pending frontier
+    val pending = frontier.filter(col("state") === "pending")
+      .join(broadcast(robots.select("host", "crawl_delay_ms")), Seq("host"), "left")
+      .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
+    val ranked = Sched.rankAndBudget(pending, epochBudgetMs)
+    val batch = Sched.fetchBatch(ranked, epoch, saltBuckets,
+      spark.sparkContext.defaultParallelism)
+
+    // ---- fetch (S1) — salted partitions, partition-local lineage
+    val fetched = FetchSim.run(batch, seed, nHosts).cache()
+    val okDocs = fetched.filter(_.status == "ok")
+      .map(f => (f.canon_url, f.depth, f.spans)).toDF("doc_id", "depth", "spans")
+
+    // ---- extract (S2/D2) + canon (X14) + robots filter (J3/F3)
+    val cand = Extract.canonCandidates(okDocs.select("doc_id", "spans"))
+    val candAllowed = Sched.allowed(cand, robots, defaultDelayMs)
+      .select("canon_url", "host", "src_doc")
+    val candDepth = candAllowed
+      .join(okDocs.select(col("doc_id").as("src_doc"), col("depth")), Seq("src_doc"))
+      .groupBy("canon_url", "host")
+      .agg((min("depth") + 1).cast("int").as("depth"))
+      .cache()
+    val nDiscovered = candDepth.count()
+
+    // ---- dedup vs seen: Bloom prefilter (D3) + exact anti-join (J2)
+    val bloomSegs =
+      if (useBloom)
+        store.readTable(m, "seen_bloom").map(df =>
+          Bloom.collectSegments(df, bloomSegments, bloomBitsPerSegment))
+      else None
+    val fresh = Seen.filterUnseen(candDepth, "canon_url", seen, bloomSegs)
+      .withColumn("score", lit(1.0) / (lit(1.0) + col("depth")))
+      .withColumn("state", lit("pending"))
+      .withColumn("retry_count", lit(0))
+      .withColumn("discovered_epoch", lit(epoch))
+      .select("canon_url", "host", "depth", "score", "state", "retry_count",
+        "discovered_epoch")
+      .cache()
+
+    // ---- frontier transition: fetched ok → fetched; error → retry w/ score
+    // decay, dead at maxRetries (T5/T7)
+    val outcome = fetched.map(f => (f.canon_url, f.status))
+      .toDF("canon_url", "_status")
+    val updated = frontier
+      .join(outcome, Seq("canon_url"), "left")
+      .withColumn("state",
+        when(col("_status") === "ok", lit("fetched"))
+          .when(col("_status") === "error" && col("retry_count") + 1 >= maxRetries,
+            lit("failed"))
+          .otherwise(col("state")))
+      .withColumn("score",
+        when(col("_status") === "error" && col("retry_count") + 1 < maxRetries,
+          col("score") * 0.5).otherwise(col("score")))
+      .withColumn("retry_count",
+        when(col("_status") === "error", col("retry_count") + 1)
+          .otherwise(col("retry_count")))
+      .drop("_status")
+    val newFrontier = updated.unionByName(fresh)
+
+    val fetchLog = fetched.toDF()
+      .select(col("epoch"), col("partition_id"), col("canon_url"), col("host"),
+        col("rank"), col("status"), col("n_spans"), col("n_urls_out"))
+
+    val statusCounts = fetched.toDF().groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nFetched = statusCounts.getOrElse("ok", 0L)
+    val nErrors = statusCounts.getOrElse("error", 0L)
+    val nEmitted = fresh.count()
+    val counters = Map(
+      "epoch" -> epoch,
+      "fetched" -> nFetched,
+      "errors" -> nErrors,
+      "discovered" -> nDiscovered,
+      "deduped" -> (nDiscovered - nEmitted),
+      "emitted" -> nEmitted)
+
+    val metricsDf = Seq((epoch, nFetched, nErrors, nDiscovered,
+      nDiscovered - nEmitted, nEmitted))
+      .toDF("epoch", "fetched", "errors", "discovered", "deduped", "emitted")
+
+    // seen + its Bloom segments are append-only: each epoch contributes only
+    // its fresh URLs; readers union the parquet paths and OR-merge segments
+    // (at 10^10 scale this is the log-structured write path; compaction
+    // would fold old segments periodically)
+    store.commit(epoch,
+      replace = Map("frontier" -> newFrontier),
+      append = Map(
+        "seen" -> fresh.select("canon_url"),
+        "seen_bloom" -> Bloom.buildSegments(fresh.select("canon_url"),
+          "canon_url", bloomSegments, bloomBitsPerSegment),
+        "fetch_log" -> fetchLog, "metrics" -> metricsDf),
+      counters = counters)
+    fetched.unpersist(); candDepth.unpersist(); fresh.unpersist()
+    counters
+  }
+
+  /** Run epochs until `maxEpochs` or an empty batch (exhausted frontier). */
+  def run(maxEpochs: Int): Seq[Map[String, Long]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    var i = 0
+    var continue = true
+    while (i < maxEpochs && continue) {
+      val metrics = runEpoch()
+      out += metrics
+      continue = metrics("fetched") + metrics("errors") > 0
+      i += 1
+    }
+    out.toSeq
+  }
+
+  // ---- readers used by tests/metrics
+  def frontier(): DataFrame =
+    store.latest().flatMap(m => store.readTable(m, "frontier")).get
+  def seenSet(): DataFrame =
+    store.latest().flatMap(m => store.readTable(m, "seen")).get
+  def fetchLog(): Option[DataFrame] =
+    store.latest().flatMap(m => store.readTable(m, "fetch_log"))
+  def metrics(): Option[DataFrame] =
+    store.latest().flatMap(m => store.readTable(m, "metrics"))
+}

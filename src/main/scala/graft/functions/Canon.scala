@@ -98,9 +98,16 @@ object Canon {
     * non-cheap expressions that are referenced more than once).
     */
   def canonicalize(df: org.apache.spark.sql.DataFrame, urlCol: String,
-      base: String): org.apache.spark.sql.DataFrame = {
+      base: String): org.apache.spark.sql.DataFrame =
+    canonicalizeCol(df, urlCol, lit(base))
+
+  /** canonicalize with a per-row base origin (e.g. the fetched page's own
+    * origin, for resolving root-relative hrefs — X8 against dynamic base).
+    */
+  def canonicalizeCol(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      base: Column): org.apache.spark.sql.DataFrame = {
     val u = col(urlCol)
-    df.withColumn("_abs", absUrl(u, base))
+    df.withColumn("_abs", when(u.startsWith("/"), concat(base, u)).otherwise(u))
       .withColumn("_nf", regexp_replace(col("_abs"), "#.*$", ""))
       .withColumn("_scheme", asciiLower(regexp_extract(col("_nf"), schemeRe, 1)))
       .withColumn("_hp",

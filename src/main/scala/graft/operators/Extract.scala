@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Canon
+import graft.gen.SimWeb
+
+/** S2/S3/D2 — span scan + URL-candidate extraction (reference: per-item
+  * anchor iteration src/api/crawling_info_list.py:12-24,139; span order =
+  * DOM order via `offset`). Input: docs with (doc_id, spans); output: one
+  * row per distinct canonical outbound URL with its source doc.
+  */
+object Extract {
+
+  /** Explode spans in offset order and pull raw URL candidates from text
+    * spans with the simulated-web grammar. Media spans carry refs but are
+    * not enqueued (the reference rewrites thumbnails, X2, but never crawls
+    * them).
+    */
+  def candidates(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .filter(col("span.kind") === "text")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("span.text"), lit(SimWeb.urlRegex), lit(0)))
+          .as("url"))
+
+  /** Canonicalize candidates against each page's own origin (X14 + X8 with
+    * per-row base), drop non-http (F3), dedup per epoch (D1).
+    */
+  def canonCandidates(docs: DataFrame): DataFrame = {
+    val cand = candidates(docs)
+      .withColumn("_base",
+        concat(lit("https://"),
+          regexp_extract(col("doc_id"), "^[a-z]+://([^/?#]*)", 1)))
+    Canon.canonicalizeCol(cand, "url", col("_base"))
+      .filter(Canon.isHttp(col("canon_url")))
+      .select(col("canon_url"), col("host"), col("doc_id").as("src_doc"))
+      .distinct()
+  }
+}

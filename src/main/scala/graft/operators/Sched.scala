@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon
+import graft.gen.SimWeb
+import graft.model.FetchTask
+
+/** Per-host politeness + priority-queue scheduling (SURVEY.md §2.6 W2/W5,
+  * §2.8 T4; north rule). The reference paces fetches with hard-coded
+  * processing-time sleeps (src/api/crawling_review.py:517,
+  * src/api/crawling_info_list.py:90); here the budget is enforced in
+  * deterministic *virtual time*: each host gets `epochBudgetMs` of virtual
+  * milliseconds per epoch, each fetch costs its robots crawl-delay, and the
+  * batch is cut by a running-sum window over the per-host priority order.
+  */
+object Sched {
+
+  /** Deterministic robots table for a set of hosts: crawl-delay in
+    * [500, 3000) ms and a /search disallow for every 4th host (hash-picked).
+    * Mirrored exactly by the sequential oracle.
+    */
+  def robotsFor(hosts: Seq[String], seed: Long): Seq[(String, Long, Seq[String])] =
+    hosts.map { h =>
+      val m = SimWeb.mix(seed, s"robots:$h") & Long.MaxValue
+      val delay = 500L + m % 2500L
+      val disallow = if (m % 4 == 0) Seq("/search") else Seq.empty[String]
+      (h, delay, disallow)
+    }
+
+  def robotsDf(spark: SparkSession, hosts: Seq[String], seed: Long): DataFrame = {
+    import spark.implicits._
+    robotsFor(hosts, seed).toDF("host", "crawl_delay_ms", "disallow")
+  }
+
+  /** Robots disallow filter: drop candidates whose path starts with any
+    * disallowed prefix for its host (J3 + path predicate). Unknown hosts
+    * default to allowed with `defaultDelayMs`.
+    */
+  def allowed(candidates: DataFrame, robots: DataFrame,
+      defaultDelayMs: Long): DataFrame = {
+    val withPath = candidates.withColumn("_path",
+      regexp_extract(col("canon_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+    withPath
+      .join(broadcast(robots), Seq("host"), "left")
+      .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
+      .withColumn("_blocked",
+        coalesce(exists(col("disallow"), p => col("_path").startsWith(p)), lit(false)))
+      .filter(!col("_blocked"))
+      .drop("_blocked", "_path", "disallow")
+  }
+
+  /** W2 + T4: per-host priority rank (score desc, depth asc, canon_url asc —
+    * the deterministic total order of SURVEY note N7) and virtual-time
+    * budget cut. Input must carry host, canon_url, depth, score,
+    * crawl_delay_ms. Output adds rank and cum_cost_ms, keeps rows whose
+    * cumulative cost fits the epoch budget.
+    */
+  def rankAndBudget(pending: DataFrame, epochBudgetMs: Long): DataFrame = {
+    val ord = Window.partitionBy("host")
+      .orderBy(col("score").desc, col("depth").asc, col("canon_url").asc)
+    pending
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_cost_ms", sum(col("crawl_delay_ms")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_cost_ms") <= epochBudgetMs)
+  }
+
+  /** The typed epoch batch (north rule: "emits the next fetch batch as a
+    * typed Dataset"), salted-repartitioned so one hot host spreads over
+    * many partitions (W5) — the politeness budget was already applied
+    * per-host *before* salting, so spreading cannot violate it.
+    */
+  def fetchBatch(ranked: DataFrame, epoch: Long, saltBuckets: Int,
+      numPartitions: Int): Dataset[FetchTask] = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    ranked
+      .select(lit(epoch).as("epoch"), col("host"), col("canon_url"),
+        col("depth"), col("score"), col("rank"))
+      .repartition(numPartitions,
+        Canon.saltedKey(col("host"), col("canon_url"), saltBuckets))
+      .as[FetchTask]
+  }
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Partitioned Bloom URL-seen set (SURVEY.md §2.4 row D3, north rule).
+  *
+  * The reference deduplicates with an exact in-memory Python set
+  * (src/api/crawling_info_list.py:94,157-161) — single-process only. At a
+  * 10^10-URL frontier the seen set is sharded: per-segment Bloom filters are
+  * built distributively (this Aggregator), OR-merged, and broadcast each
+  * epoch as a *prefilter* in front of the exact anti-join (J2). A Bloom
+  * false positive would silently drop a never-seen URL, so the Bloom is
+  * only ever used to prune rows that then still pass through the exact
+  * `left_anti` — the final seen-set equals the reference's exactly; the
+  * Bloom just keeps the exact join's probe side small.
+  */
+object Bloom {
+
+  /** Pure bit-set Bloom over strings; k hashes by double hashing
+    * (h1 + i·h2, Kirsch–Mitzenmacher). Plain Scala so the fetch simulator,
+    * the Aggregator below, and tests share one implementation.
+    */
+  final case class Filter(bits: Array[Long], k: Int) {
+    def m: Int = bits.length * 64
+
+    private def idx(h1: Long, h2: Long, i: Int): Int = {
+      val h = h1 + i.toLong * h2
+      ((h % m + m) % m).toInt
+    }
+
+    def add(s: String): Unit = {
+      val h1 = graft.gen.SimWeb.mix(0x5eedL, s)
+      val h2 = graft.gen.SimWeb.mix(0xb100dL, s) | 1L
+      var i = 0
+      while (i < k) {
+        val b = idx(h1, h2, i)
+        bits(b >> 6) |= (1L << (b & 63))
+        i += 1
+      }
+    }
+
+    def mightContain(s: String): Boolean = {
+      val h1 = graft.gen.SimWeb.mix(0x5eedL, s)
+      val h2 = graft.gen.SimWeb.mix(0xb100dL, s) | 1L
+      var i = 0
+      while (i < k) {
+        val b = idx(h1, h2, i)
+        if ((bits(b >> 6) & (1L << (b & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+
+    def orInPlace(o: Filter): Filter = {
+      require(o.bits.length == bits.length && o.k == k, "incompatible Bloom segments")
+      var i = 0
+      while (i < bits.length) { bits(i) |= o.bits(i); i += 1 }
+      this
+    }
+
+    def serialize: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + bits.length * 8)
+      bb.putInt(k)
+      bits.foreach(bb.putLong)
+      bb.array()
+    }
+  }
+
+  object Filter {
+    def empty(mBits: Int, k: Int): Filter =
+      Filter(new Array[Long]((mBits + 63) / 64), k)
+
+    def deserialize(b: Array[Byte]): Filter = {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      val k = bb.getInt
+      val n = (b.length - 4) / 8
+      val bits = new Array[Long](n)
+      var i = 0
+      while (i < n) { bits(i) = bb.getLong; i += 1 }
+      Filter(bits, k)
+    }
+  }
+
+  /** Distributed Bloom build: typed Aggregator over the canon_url column
+    * (the public analog of TypedImperativeAggregate — SURVEY §2.10);
+    * merge is bitwise OR, so it is commutative/associative and safe under
+    * partial aggregation.
+    */
+  final class BloomAgg(mBits: Int, k: Int)
+      extends Aggregator[String, Filter, Array[Byte]] {
+    override def zero: Filter = Filter.empty(mBits, k)
+    override def reduce(b: Filter, a: String): Filter = { b.add(a); b }
+    override def merge(b1: Filter, b2: Filter): Filter = b1.orInPlace(b2)
+    override def finish(r: Filter): Array[Byte] = r.serialize
+    override def bufferEncoder: Encoder[Filter] = Encoders.kryo[Filter]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Build per-segment Bloom filters: canon_urls are hash-partitioned into
+    * `segments` shards; one Bloom per shard. Returns (segment_id, bloom, n).
+    */
+  def buildSegments(seen: DataFrame, urlCol: String, segments: Int,
+      mBitsPerSegment: Int, k: Int = 5): DataFrame = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    seen
+      .select(
+        pmod(graft.functions.Canon.md5Long(col(urlCol)), lit(segments)).as("segment_id"),
+        col(urlCol).as("u"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new BloomAgg(mBitsPerSegment, k).toColumn.name("bloom"))
+      .toDF("segment_id", "bloom")
+  }
+
+  /** Driver-side merge of segment rows into an in-memory array for
+    * broadcast; index = segment_id.
+    */
+  def collectSegments(segDf: DataFrame, segments: Int, mBits: Int, k: Int = 5): Array[Filter] = {
+    val out = Array.fill(segments)(Filter.empty(mBits, k))
+    segDf.collect().foreach { r =>
+      val id = r.getLong(0).toInt
+      out(id) = out(id).orInPlace(Filter.deserialize(r.getAs[Array[Byte]](1)))
+    }
+    out
+  }
+}
+
+object Seen {
+
+  /** J2 + D3: drop candidates already in the seen set. The Bloom segments
+    * (broadcast) prune the probe side first — a "definitely not seen" row
+    * skips nothing, a "might be seen" row goes to the exact anti-join.
+    * Correctness never depends on the Bloom (no false-negative property is
+    * tested in BloomSpec); it only shrinks the join input.
+    */
+  def filterUnseen(candidates: DataFrame, urlCol: String, seen: DataFrame,
+      bloom: Option[Array[Bloom.Filter]]): DataFrame = {
+    val spark = candidates.sparkSession
+    bloom match {
+      case None =>
+        candidates.join(seen.withColumnRenamed("canon_url", urlCol).select(urlCol),
+          Seq(urlCol), "left_anti")
+      case Some(segs) =>
+        val bc = spark.sparkContext.broadcast(segs)
+        val nSeg = segs.length
+        val mightContain = udf { (u: String) =>
+          val s = bc.value
+          val id = (graft.functions.CanonJvm.md5Long(u) % nSeg).toInt
+          s(id).mightContain(u)
+        }
+        val flagged = candidates.withColumn("_maybe_seen", mightContain(col(urlCol)))
+        val definitelyNew = flagged.filter(!col("_maybe_seen")).drop("_maybe_seen")
+        val maybeSeen = flagged.filter(col("_maybe_seen")).drop("_maybe_seen")
+        val survived = maybeSeen.join(
+          seen.withColumnRenamed("canon_url", urlCol).select(urlCol),
+          Seq(urlCol), "left_anti")
+        definitelyNew.unionAll(survived)
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import scala.util.chaining._
+import graft.functions.Canon
+import graft.gen.SimWeb
+
+/** X14/X8/X1 property tests (SURVEY.md §5.2-2): idempotence, query-order
+  * insensitivity, and — the load-bearing one — agreement between the Spark
+  * Column pipeline and the independent plain-Scala reimplementation the
+  * sequential oracle uses.
+  */
+class CanonSpec extends SparkSpecBase {
+
+  private val base = "https://www.base.example.com"
+
+  private val genHost: Gen[String] = for {
+    name <- Gen.oneOf("shop0", "Shop1", "SHOP2.Sub", "a-b.c")
+    tld <- Gen.oneOf("com", "org", "example.com")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+  } yield s"$name.$tld$port"
+
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+    host <- genHost
+    path <- Gen.oneOf("", "/", "/vp/products/123", "/a/b.html", "/search")
+    q <- Gen.oneOf("", "?b=2&a=1", "?a=1", "?z=9&m=5&a=0")
+    frag <- Gen.oneOf("", "#x", "#reviews")
+    rel <- Gen.oneOf(true, false)
+  } yield if (rel) s"$path$q$frag".pipe(s => if (s.startsWith("/")) s else "/" + s)
+  else s"$scheme://$host$path$q$frag"
+
+  private def sparkCanon(urls: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    val df = urls.toDF("url")
+    Canon.canonicalize(df, "url", base)
+      .select("canon_url").as[String].collect().toSeq
+  }
+
+  test("Column canon agrees with the oracle's plain-Scala canon") {
+    val urls = Gen.listOfN(300, genUrl).sample.get
+    val viaSpark = sparkCanon(urls)
+    val viaScala = urls.map(SimWeb.canonScala(_, base))
+    urls.lazyZip(viaSpark).lazyZip(viaScala).foreach { (u, a, b) =>
+      assert(a == b, s"canon mismatch for '$u': spark='$a' scala='$b'")
+    }
+  }
+
+  test("canon is idempotent: canon(canon(u)) == canon(u)") {
+    val urls = Gen.listOfN(300, genUrl).sample.get
+    val once = urls.map(SimWeb.canonScala(_, base))
+    val twice = once.map(SimWeb.canonScala(_, base))
+    assert(once == twice)
+    val sparkOnce = sparkCanon(urls)
+    val sparkTwice = sparkCanon(sparkOnce)
+    assert(sparkOnce == sparkTwice)
+  }
+
+  test("canon is insensitive to query-parameter order") {
+    val a = SimWeb.canonScala("https://h.com/p?b=2&a=1&c=3", base)
+    val b = SimWeb.canonScala("https://h.com/p?c=3&a=1&b=2", base)
+    assert(a == b)
+  }
+
+  test("default ports stripped only for the matching scheme") {
+    assert(SimWeb.canonScala("http://h.com:80/x", base) == "http://h.com/x")
+    assert(SimWeb.canonScala("https://h.com:443/x", base) == "https://h.com/x")
+    assert(SimWeb.canonScala("http://h.com:443/x", base) == "http://h.com:443/x")
+    assert(SimWeb.canonScala("https://h.com:8080/x", base) == "https://h.com:8080/x")
+  }
+
+  test("X1 product code mirrors the reference's split semantics") {
+    import spark.implicits._
+    // reference: url.split("products/")[-1].split("?")[0]
+    // (src/api/crawling_info_list.py:57-59)
+    val cases = Seq(
+      "https://h/vp/products/123?x=1" -> "123",
+      "https://h/vp/products/456" -> "456",
+      "https://h/vp/products/789#f" -> "789")
+    val got = cases.map(_._1).toDF("url")
+      .select(Canon.productCode(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ckpt.SnapshotStore
+import graft.engine.EpochDriver
+import graft.gen.SimWeb
+import graft.oracle.SeqOracle
+
+/** End-to-end engine semantics (SURVEY.md §5.2-3/5): the distributed epoch
+  * driver must reproduce the sequential oracle's per-host fetch sequences,
+  * final seen-set, frontier states, and per-epoch counters under the same
+  * seed list and politeness budget (the north rule's ordering criterion,
+  * note N7); and a run interrupted between epochs must resume from the
+  * snapshot to a byte-identical end state.
+  */
+class EngineSpec extends SparkSpecBase {
+
+  private val seed = 42L
+  private val nHosts = 10
+  private val budget = 8000L
+  private val epochs = 3
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-engine").toString
+
+  private def newDriver(dir: String, useBloom: Boolean = true) =
+    new EpochDriver(spark, new SnapshotStore(dir, spark), seed, nHosts,
+      epochBudgetMs = budget, useBloom = useBloom)
+
+  private def seeds = SimWeb.seedUrls(40, nHosts, seed)
+
+  private def runOracle(): SeqOracle = {
+    val o = new SeqOracle(seed, nHosts, budget)
+    o.init(seeds)
+    (1 to epochs).foreach(o.runEpoch(_))
+    o
+  }
+
+  test("engine reproduces the sequential oracle: seen set, sequences, states, metrics") {
+    val dir = tmpDir()
+    val d = newDriver(dir)
+    d.init(seeds)
+    val engineMetrics = (1 to epochs).map(_ => d.runEpoch())
+    val o = runOracle()
+
+    // final seen set
+    val engineSeen = d.seenSet().collect().map(_.getString(0)).toSet
+    assert(engineSeen == o.seen.toSet, {
+      val miss = o.seen.toSet -- engineSeen
+      val extra = engineSeen -- o.seen.toSet
+      s"seen mismatch; missing=${miss.take(5)} extra=${extra.take(5)}"
+    })
+
+    // per-(epoch, host) fetch sequences in priority (rank) order
+    val log = d.fetchLog().get.collect()
+    val engineSeq = log.groupBy(r => (r.getLong(0), r.getString(3)))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getInt(4)).map(_.getString(2)).toVector
+      }
+    assert(engineSeq.keySet == o.fetchSeq.keySet.map(identity))
+    engineSeq.foreach { case (k, seq) =>
+      assert(seq == o.fetchSeq(k), s"fetch sequence mismatch at $k")
+    }
+
+    // frontier states
+    val engineStates = d.frontier().collect()
+      .map(r => r.getString(0) -> (r.getString(4), r.getInt(5))).toMap
+    val oracleStates = o.frontier.map { case (u, e) => u -> (e.state, e.retry) }.toMap
+    assert(engineStates == oracleStates)
+
+    // per-epoch counters
+    engineMetrics.zip(o.metrics).foreach { case (e, om) =>
+      assert(e == om, s"metrics mismatch: engine=$e oracle=$om")
+    }
+  }
+
+  test("bloom prefilter does not change results") {
+    val d1 = newDriver(tmpDir(), useBloom = true)
+    val d2 = newDriver(tmpDir(), useBloom = false)
+    d1.init(seeds); d2.init(seeds)
+    (1 to 2).foreach { _ => d1.runEpoch(); d2.runEpoch() }
+    val s1 = d1.seenSet().collect().map(_.getString(0)).toSet
+    val s2 = d2.seenSet().collect().map(_.getString(0)).toSet
+    assert(s1 == s2)
+  }
+
+  test("resume from snapshot equals an uninterrupted run") {
+    val dirA = tmpDir()
+    val a = newDriver(dirA)
+    a.init(seeds)
+    (1 to epochs).foreach(_ => a.runEpoch())
+
+    val dirB = tmpDir()
+    val b1 = newDriver(dirB)
+    b1.init(seeds)
+    (1 to 1).foreach(_ => b1.runEpoch())
+    // "crash": drop the driver; a NEW driver resumes from the snapshot store
+    val b2 = newDriver(dirB)
+    (2 to epochs).foreach(_ => b2.runEpoch())
+
+    def state(d: EpochDriver) = (
+      d.seenSet().collect().map(_.getString(0)).toSet,
+      d.frontier().collect().map(r =>
+        (r.getString(0), r.getString(4), r.getInt(5), r.getInt(2))).toSet,
+      d.metrics().get.collect().map(_.toSeq).toSet)
+    assert(state(a) == state(b2))
+  }
+
+  test("uncommitted garbage in the store is ignored on resume") {
+    val dir = tmpDir()
+    val a = newDriver(dir)
+    a.init(seeds)
+    a.runEpoch()
+    // simulate a crash mid-commit: orphan data dir + dangling tmp manifest
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root.resolve("data/frontier/v99"))
+    java.nio.file.Files.writeString(root.resolve("manifest/v99.json.tmp"), "{broken")
+    val b = newDriver(dir)
+    val m2 = b.runEpoch() // resumes from v1, runs epoch 2
+    assert(m2("epoch") == 2L)
+  }
+}
