@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -145,14 +145,11 @@ object Seen {
         candidates.join(seen.withColumnRenamed("canon_url", urlCol).select(urlCol),
           Seq(urlCol), "left_anti")
       case Some(segs) =>
-        val bc = spark.sparkContext.broadcast(segs)
-        val nSeg = segs.length
-        val mightContain = udf { (u: String) =>
-          val s = bc.value
-          val id = (graft.functions.CanonJvm.md5Long(u) % nSeg).toInt
-          s(id).mightContain(u)
-        }
-        val flagged = candidates.withColumn("_maybe_seen", mightContain(col(urlCol)))
+        // native codegen'd Expression, not a UDF: no per-row UTF8String→
+        // String boxing through a function object, and the probe stays
+        // inside whole-stage codegen (graft.plans.BloomMightContain)
+        val flagged = candidates.withColumn("_maybe_seen",
+          graft.plans.BloomMightContain(col(urlCol), segs))
         val definitelyNew = flagged.filter(!col("_maybe_seen")).drop("_maybe_seen")
         val maybeSeen = flagged.filter(col("_maybe_seen")).drop("_maybe_seen")
         val survived = maybeSeen.join(

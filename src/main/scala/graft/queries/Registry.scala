@@ -28,8 +28,8 @@ object Registry {
   // lazy: the Queries* objects reference Registry helpers during their own
   // initialization — a strict val here would deadlock into nulls
   lazy val all: Seq[Q] =
-    QueriesCrawl.qs ++ QueriesRelational.qs ++ QueriesText.qs ++
-      QueriesVector.qs
+    QueriesCrawl.qs ++ QueriesCrawl2.qs ++ QueriesRelational.qs ++
+      QueriesText.qs ++ QueriesVector.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap
