@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan audits (builder brief: ".explain the plan and iterate until
+  * it's the plan you'd want"): filters reach the parquet scan, column
+  * pruning holds, small dimensions broadcast, top-1-per-group becomes
+  * WindowGroupLimit, and the window-rank scheduler shuffles exactly once.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q11 enrich: filter pushed to parquet scan + broadcast hash join") {
+    val p = planOf("q11_j1_enrich_bhj")
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(o_custkey\\).*"),
+      s"expected pushed filters in scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join")
+  }
+
+  test("q11 enrich: column pruning — scan reads only needed orders columns") {
+    val p = planOf("q11_j1_enrich_bhj")
+    // orders scan must not read o_orderdate / o_orderpriority
+    val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scanLine.contains("o_orderdate") && !scanLine.contains("o_orderpriority"),
+      s"unpruned columns in scan:\n$scanLine")
+  }
+
+  test("q03 priority pick: top-1-per-group runs as WindowGroupLimit") {
+    val p = planOf("q03_w1_priority_pick")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit rewrite:\n$p")
+  }
+
+  test("q26 jaccard block join: broadcast build side, no shuffle join on lang") {
+    val p = planOf("q26_dedup_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "5-key lang join must not sort-merge (single-partition skew)")
+  }
+
+  test("scheduler rank+budget: exactly one exchange (host) feeds both window functions") {
+    val df = SparkEntry.queries("q07_t4_politeness_budget")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    // rank + running sum share the same (host) partitioning: one hash
+    // exchange, not two
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("q22 exact dedup: partial (map-side) aggregation before the shuffle") {
+    val p = planOf("q22_dedup_exact")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"expected partial aggregation:\n$p")
+  }
+}
