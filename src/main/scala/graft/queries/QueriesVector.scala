@@ -130,5 +130,65 @@ object QueriesVector {
          |  CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END AS is_near_dup
          |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q28, q29, q30)
+  /** Deterministic ±1 hyperplane sign vectors (seeded splitmix over
+    * (plane, dim)), injected as literals into BOTH the Spark plan and the
+    * DuckDB oracle SQL — the LSH bucketing is bit-exactly reproducible.
+    */
+  private val N_PLANES = 8
+  private val DIMS = 64
+  private def planeSign(p: Int, d: Int): Double =
+    if ((graft.gen.SimWeb.mix(7L, s"plane:$p:$d") & 1L) == 0L) -1.0 else 1.0
+  private val planes: Seq[Seq[Double]] =
+    (0 until N_PLANES).map(p => (0 until DIMS).map(d => planeSign(p, d)))
+
+  /** Random-hyperplane LSH for cosine ANN (the scale path: bucket key is
+    * computable per-row with no shuffle; search happens only within a
+    * bucket). Output: each vector's bucket, bucket population, and its
+    * nearest in-bucket neighbor (null when alone in the bucket).
+    */
+  private val q31v = Q("q37_ann_lsh_hyperplane",
+    (s, dir) => {
+      val signBits = planes.zipWithIndex.map { case (pl, i) =>
+        val plLit = array(pl.map(lit): _*)
+        when(dot(col("v"), plLit) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      val bucketed = vecs(s, dir)
+        .withColumn("bucket", concat(signBits: _*))
+      val b = bucketed.select(col("vec_id"), col("bucket"),
+        col("v"), col("nrm"))
+      val mates = b.select(col("vec_id").as("n_id"), col("bucket"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val nn = b.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .join(broadcast(mates), Seq("bucket"))
+        .filter(col("vec_id") =!= col("n_id"))
+        .select(col("vec_id"), col("bucket"), col("n_id"),
+          (dot(col("v"), col("nv")) / (col("nrm") * col("nn"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("vec_id"), col("n_id").as("nn_id"),
+          round(col("cos"), 6).as("nn_cos"))
+      bucketed.select(col("vec_id"), col("bucket"))
+        .join(nn, Seq("vec_id"), "left")
+        .orderBy("vec_id")
+    },
+    Some {
+      val planeLits = planes.map(pl => pl.map(v =>
+        if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      val bitExprs = planeLits.map(p =>
+        s"CASE WHEN list_dot_product(v, $p::DOUBLE[]) >= 0 THEN '1' ELSE '0' END")
+        .mkString("||")
+      s"""WITH $duckVecs,
+         |bkt AS (SELECT vec_id, v, nrm, $bitExprs AS bucket FROM vecs),
+         |p AS (SELECT a.vec_id, a.bucket, b.vec_id AS n_id,
+         |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+         |SELECT bkt.vec_id, bkt.bucket, r.n_id AS nn_id, round(r.cos, 6) AS nn_cos
+         |FROM bkt LEFT JOIN r ON bkt.vec_id = r.vec_id AND r.rank = 1
+         |ORDER BY bkt.vec_id""".stripMargin
+    })
+
+  val qs: Seq[Q] = Seq(q28, q29, q30, q31v)
 }
