@@ -19,6 +19,38 @@ import graft.operators.{Bloom, Extract, Seen}
   * Usage: runMain graft.BenchCrawl <nUrls> [nHosts]
   */
 object BenchCrawl {
+
+  /** One full pipeline pass (fetch-sim → extract → canon → distinct →
+    * Bloom+exact dedup) over an n-URL frontier slice; returns
+    * (freshDiscovered, wallSeconds).
+    */
+  def pipelineThroughput(spark: org.apache.spark.sql.SparkSession, n: Long,
+      nHosts: Int, seed: Long = 42L): (Long, Double) = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    def frontierUrls = spark.range(0, n, 1, parts)
+      .mapPartitions(_.map { i =>
+        val h = SimWeb.mix(seed, s"seed:$i")
+        val host = SimWeb.hostName(SimWeb.zipfHost(h, nHosts))
+        s"https://$host/vp/products/${h & Long.MaxValue}"
+      })
+      .toDF("canon_url")
+    val t0 = System.nanoTime()
+    val docs = frontierUrls.as[String]
+      .mapPartitions(_.map(u => SimWeb.docFor(u, seed, nHosts)))
+      .toDF()
+    val cand = Extract.canonCandidates(docs)
+    val segments = 32
+    val bits = 1 << 22
+    val segs = Bloom.collectSegments(
+      Bloom.buildSegments(frontierUrls, "canon_url", segments, bits),
+      segments, bits)
+    val fresh = Seen.filterUnseen(
+      cand.select("canon_url"), "canon_url", frontierUrls, Some(segs))
+    val f = fresh.count()
+    (f, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toLong).getOrElse(2000000L)
     val nHosts = args.lift(1).map(_.toInt).getOrElse(5000)

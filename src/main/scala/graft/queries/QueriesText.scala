@@ -170,21 +170,28 @@ object QueriesText {
          |SELECT doc_id, band_id, band_key FROM bands
          |ORDER BY doc_id, band_id""".stripMargin))
 
-  /** LSH candidate pairs (band-bucket self-join) verified by true shingle
-    * Jaccard ≥ 0.5 — the scale path: no all-pairs comparison, only bucket
-    * collisions are verified.
+  /** LSH candidate pairs verified by true shingle Jaccard ≥ 0.5 — the
+    * scale path: no all-pairs comparison, only bucket collisions are
+    * verified. Hash note: md5-prefix hashing is kept so the DuckDB oracle
+    * reproduces every signature bit-for-bit; a production deployment would
+    * swap Canon.md5Long for xxhash64 (same structure, ~10x faster) once an
+    * external oracle is no longer needed.
     */
   private val q24 = Q("q24_dedup_minhash_pairs",
     (s, dir) => {
-      val b = bands(s, dir)
-      val cand = b
-        .repartition(s.sparkContext.defaultParallelism, col("band_id"), col("band_key"))
-        .as("a")
-        .join(broadcast(b).as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // bucket-collect pair generation: one pass computes the signatures,
+      // buckets gather their members, and candidate pairs are the in-bucket
+      // combinations — no self-join, so the (expensive) MinHash columns are
+      // evaluated once instead of twice
+      val buckets = bands(s, dir)
+        .groupBy("band_id", "band_key")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val cand = buckets
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
       val sets = shingleHashes(s, dir).select(col("doc_id"), col("sh"))
       cand
