@@ -130,6 +130,14 @@ object Canon {
 
   /** X1 — product code from a product URL (string form; listing path keeps
     * it as string, review path casts to long — SURVEY note N3).
+    * Semantics note: the reference computes
+    * url.split("products/")[-1].split("?")[0] — on a URL with NO
+    * "products/" segment that returns the whole URL, and with multiple
+    * segments it keys off the LAST one. This regexp form returns '' /
+    * first-occurrence instead; both call sites in the reference are guarded
+    * so only single-occurrence product URLs reach it
+    * (crawling_info_list.py:30-31 preference + 144-152 presence check),
+    * where the two definitions coincide.
     */
   def productCode(u: Column): Column =
     regexp_extract(u, "products/([^?#/]+)", 1)
