@@ -64,16 +64,21 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
   /** Commit a new snapshot. `replace` tables point only at this commit's
     * files; `append` tables carry the parent's file list forward plus the
     * new files (fetch_log / metrics lineage accumulate this way without
-    * rewriting history).
+    * rewriting history). Tables named in `partitionedBy` are written with
+    * hive-style partition dirs so predicates on the partition column prune
+    * whole directories at read time (e.g. frontier by `state`: the
+    * scheduler's state='pending' scan never touches fetched/failed files).
     */
   def commit(epoch: Long, replace: Map[String, DataFrame],
-      append: Map[String, DataFrame], counters: Map[String, Long]): Manifest = {
+      append: Map[String, DataFrame], counters: Map[String, Long],
+      partitionedBy: Map[String, String] = Map.empty): Manifest = {
     val parent = latest()
     val v = parent.map(_.version + 1).getOrElse(0L)
 
     def write(table: String, df: DataFrame): String = {
       val dir = root.resolve("data").resolve(table).resolve(s"v$v").toString
-      df.write.mode("overwrite").parquet(dir)
+      val w = df.write.mode("overwrite")
+      partitionedBy.get(table).fold(w)(c => w.partitionBy(c)).parquet(dir)
       dir
     }
 

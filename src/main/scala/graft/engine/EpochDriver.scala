@@ -52,7 +52,8 @@ final class EpochDriver(
       replace = Map("frontier" -> frontier),
       append = Map("seen" -> seen,
         "seen_bloom" -> Bloom.buildSegments(seen, "canon_url", bloomSegments, bloomBitsPerSegment)),
-      counters = Map("seeds" -> frontier.count()))
+      counters = Map("seeds" -> frontier.count()),
+      partitionedBy = Map("frontier" -> "state"))
     ()
   }
 
@@ -153,8 +154,10 @@ final class EpochDriver(
         "seen" -> fresh.select("canon_url"),
         "seen_bloom" -> Bloom.buildSegments(fresh.select("canon_url"),
           "canon_url", bloomSegments, bloomBitsPerSegment),
+        "docs" -> okDocs, // the crawled interleaved-span corpus itself
         "fetch_log" -> fetchLog, "metrics" -> metricsDf),
-      counters = counters)
+      counters = counters,
+      partitionedBy = Map("frontier" -> "state"))
     fetched.unpersist(); candDepth.unpersist(); fresh.unpersist()
     counters
   }
@@ -182,4 +185,6 @@ final class EpochDriver(
     store.latest().flatMap(m => store.readTable(m, "fetch_log"))
   def metrics(): Option[DataFrame] =
     store.latest().flatMap(m => store.readTable(m, "metrics"))
+  def docs(): Option[DataFrame] =
+    store.latest().flatMap(m => store.readTable(m, "docs"))
 }

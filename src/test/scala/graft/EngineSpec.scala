@@ -64,7 +64,8 @@ class EngineSpec extends SparkSpecBase {
 
     // frontier states
     val engineStates = d.frontier().collect()
-      .map(r => r.getString(0) -> (r.getString(4), r.getInt(5))).toMap
+      .map(r => r.getAs[String]("canon_url") ->
+        ((r.getAs[String]("state"), r.getAs[Int]("retry_count")))).toMap
     val oracleStates = o.frontier.map { case (u, e) => u -> (e.state, e.retry) }.toMap
     assert(engineStates == oracleStates)
 
@@ -101,7 +102,8 @@ class EngineSpec extends SparkSpecBase {
     def state(d: EpochDriver) = (
       d.seenSet().collect().map(_.getString(0)).toSet,
       d.frontier().collect().map(r =>
-        (r.getString(0), r.getString(4), r.getInt(5), r.getInt(2))).toSet,
+        (r.getAs[String]("canon_url"), r.getAs[String]("state"),
+          r.getAs[Int]("retry_count"), r.getAs[Int]("depth"))).toSet,
       d.metrics().get.collect().map(_.toSeq).toSet)
     assert(state(a) == state(b2))
   }
