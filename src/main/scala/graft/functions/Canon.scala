@@ -79,8 +79,13 @@ object Canon {
     * strip fragment, lowercase scheme+host, drop default ports, normalize
     * empty path to "/", sort query parameters.
     */
-  def canonUrl(u: Column, base: String): Column = {
-    val abs = absUrl(u, base)
+  def canonUrl(u: Column, base: String): Column = canonUrlCol(u, lit(base))
+
+  /** canonUrl with a per-row base (SQL-function form; prefer the staged
+    * `canonicalizeCol` in DataFrame pipelines — see its doc).
+    */
+  def canonUrlCol(u: Column, base: Column): Column = {
+    val abs = when(u.startsWith("/"), concat(base, u)).otherwise(u)
     val nofrag = regexp_replace(abs, "#.*$", "")
     val q = urlQuery(nofrag)
     val sortedQ = array_join(array_sort(split(q, "&")), "&")

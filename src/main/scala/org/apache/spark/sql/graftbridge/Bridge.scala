@@ -11,5 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager conversion: ExpressionUtils.expression wraps the column node in a
+    * LAZY ColumnNodeExpression placeholder, which only the classic Dataset
+    * path converts during analysis — inside a FunctionRegistry builder it
+    * would survive to codegen as Unevaluable. Convert through the session
+    * converter instead.
+    */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

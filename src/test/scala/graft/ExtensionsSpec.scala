@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.gen.SimWeb
+
+/** SQL surface via SparkSessionExtensions: functions registered by
+  * graft.plans.GraftExtensions behave identically to the Column API /
+  * plain-Scala canon.
+  */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(s)
+  }
+
+  test("canon_url / url_host / product_code / graft_hash64 work from SQL") {
+    val rows = spark.sql(
+      """SELECT
+        |  canon_url('HTTPS://WWW.Shop.COM:443/vp/products/9?b=2&a=1#f',
+        |            'https://base.com') AS c,
+        |  canon_url('/vp/products/7', 'https://base.com') AS rel,
+        |  url_host('http://X.com:80/a') AS h,
+        |  product_code('https://h/vp/products/123?x=1') AS pc,
+        |  graft_hash64('abc') AS hh
+        |""".stripMargin).collect().head
+    assert(rows.getString(0) ==
+      SimWeb.canonScala("HTTPS://WWW.Shop.COM:443/vp/products/9?b=2&a=1#f", "https://base.com"))
+    assert(rows.getString(1) == "https://base.com/vp/products/7")
+    assert(rows.getString(2) == "x.com")
+    assert(rows.getString(3) == "123")
+    assert(rows.getLong(4) == graft.functions.CanonJvm.md5Long("abc"))
+  }
+}
