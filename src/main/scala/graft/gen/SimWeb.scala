@@ -148,6 +148,15 @@ object SimWeb {
     s"$scheme://$host$path$q"
   }
 
+  /** scheme://host[:port] origin of a canonical URL ('' if malformed). */
+  def originOfCanon(canon: String): String = {
+    val si = canon.indexOf("://")
+    if (si < 0) return ""
+    val rest = canon.substring(si + 3)
+    val e = rest.indexWhere(c => c == '/' || c == '?')
+    canon.substring(0, si + 3) + (if (e < 0) rest else rest.substring(0, e))
+  }
+
   def hostOfCanon(canon: String): String = {
     val si = canon.indexOf("://")
     if (si < 0) return ""

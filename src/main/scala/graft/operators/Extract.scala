@@ -30,9 +30,10 @@ object Extract {
     */
   def canonCandidates(docs: DataFrame): DataFrame = {
     val cand = candidates(docs)
+      // the page's own origin (scheme INCLUDED — an http page must resolve
+      // relative links to http, X8), doc_id being the page's canon_url
       .withColumn("_base",
-        concat(lit("https://"),
-          regexp_extract(col("doc_id"), "^[a-z]+://([^/?#]*)", 1)))
+        regexp_extract(col("doc_id"), "^([a-z]+://[^/?#]*)", 1))
     Canon.canonicalizeCol(cand, "url", col("_base"))
       .filter(Canon.isHttp(col("canon_url")))
       .select(col("canon_url"), col("host"), col("doc_id").as("src_doc"))

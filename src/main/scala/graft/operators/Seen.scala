@@ -145,17 +145,20 @@ object Seen {
         candidates.join(seen.withColumnRenamed("canon_url", urlCol).select(urlCol),
           Seq(urlCol), "left_anti")
       case Some(segs) =>
-        // native codegen'd Expression, not a UDF: no per-row UTF8String→
-        // String boxing through a function object, and the probe stays
-        // inside whole-stage codegen (graft.plans.BloomMightContain)
-        val flagged = candidates.withColumn("_maybe_seen",
-          graft.plans.BloomMightContain(col(urlCol), segs))
-        val definitelyNew = flagged.filter(!col("_maybe_seen")).drop("_maybe_seen")
-        val maybeSeen = flagged.filter(col("_maybe_seen")).drop("_maybe_seen")
-        val survived = maybeSeen.join(
-          seen.withColumnRenamed("canon_url", urlCol).select(urlCol),
-          Seq(urlCol), "left_anti")
-        definitelyNew.unionAll(survived)
+        // native codegen'd Expression, not a UDF (graft.plans
+        // .BloomMightContain), and a SINGLE pass over the candidates: a
+        // filter/union formulation would evaluate the whole upstream
+        // pipeline once per branch. Left-outer join whose condition
+        // includes the probe-side Bloom verdict: "definitely new" rows
+        // never match (kept), "maybe seen" rows match exactly when the
+        // exact set contains them (dropped by the null filter).
+        val maybe = graft.plans.BloomMightContain(col(urlCol), segs)
+        val marker = seen.select(col("canon_url").as("_seen_url"),
+          lit(true).as("_in_seen"))
+        candidates
+          .join(marker, col(urlCol) === col("_seen_url") && maybe, "left_outer")
+          .filter(col("_in_seen").isNull)
+          .drop("_seen_url", "_in_seen")
     }
   }
 }

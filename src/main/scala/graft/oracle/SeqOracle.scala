@@ -93,7 +93,7 @@ final class SeqOracle(seed: Long, nHosts: Int, epochBudgetMs: Long = 10000L,
         fetched += 1
         e.state = "fetched"
         val doc = SimWeb.docFor(e.canonUrl, seed, nHosts)
-        val base = "https://" + SimWeb.hostOfCanon(e.canonUrl)
+        val base = SimWeb.originOfCanon(e.canonUrl)
         doc.spans.filter(_.kind == "text").foreach { sp =>
           SimWeb.extractRawScala(sp.text).foreach { raw =>
             val canon = SimWeb.canonScala(raw, base)

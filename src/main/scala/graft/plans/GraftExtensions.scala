@@ -17,6 +17,11 @@ import graft.functions.Canon
   * parity preserved).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def fn(name: String, usage: String)(
       build: Seq[Expression] => Expression) =
@@ -24,28 +29,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
       (exprs: Seq[Expression]) => build(exprs))
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("canon_url",
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("canon_url",
       "canon_url(url, base) - full URL canonicalization (X14)") { es =>
       require(es.size == 2, "canon_url(url, base)")
-      val u = Bridge.column(es.head)
-      val base = Bridge.column(es(1))
-      Bridge.expression(Canon.canonUrlCol(u, base))
-    })
-    ext.injectFunction(fn("url_host",
+      Bridge.expression(Canon.canonUrlCol(Bridge.column(es.head), Bridge.column(es(1))))
+    },
+    fn("url_host",
       "url_host(url) - lowercased host with default port stripped") { es =>
       require(es.size == 1, "url_host(url)")
       Bridge.expression(Canon.urlHost(Bridge.column(es.head)))
-    })
-    ext.injectFunction(fn("product_code",
+    },
+    fn("product_code",
       "product_code(url) - X1 product code extraction") { es =>
       require(es.size == 1, "product_code(url)")
       Bridge.expression(Canon.productCode(Bridge.column(es.head)))
-    })
-    ext.injectFunction(fn("graft_hash64",
+    },
+    fn("graft_hash64",
       "graft_hash64(s) - portable 60-bit md5-prefix hash") { es =>
       require(es.size == 1, "graft_hash64(s)")
       Bridge.expression(Canon.md5Long(Bridge.column(es.head)))
     })
+
+  /** Register the same functions on an already-built session (getOrCreate
+    * silently ignores withExtensions when a session exists — this is the
+    * safe path for notebooks/tests sharing a session).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    descriptors.foreach { case (id, info, b) => reg.registerFunction(id, info, b) }
   }
 }

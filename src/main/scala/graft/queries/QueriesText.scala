@@ -154,8 +154,11 @@ object QueriesText {
   }
 
   private def bandKey(b: Int): Column =
-    concat_ws("-", (0 until ROWS_PER_BAND)
-      .map(r => sigExpr(b * ROWS_PER_BAND + r).cast("string")): _*)
+    // concat (not concat_ws): null sigs — docs with < SHINGLE_K tokens —
+    // must propagate to a null band key exactly like the oracle's ||
+    concat((0 until ROWS_PER_BAND).flatMap(r =>
+      Seq(sigExpr(b * ROWS_PER_BAND + r).cast("string"), lit("-")))
+      .dropRight(1): _*)
 
   private def duckBandKey(b: Int): String =
     (0 until ROWS_PER_BAND)

@@ -1,27 +1,17 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import graft.gen.SimWeb
 
-/** SQL surface via SparkSessionExtensions: functions registered by
-  * graft.plans.GraftExtensions behave identically to the Column API /
-  * plain-Scala canon.
+/** SQL surface: functions registered by graft.plans.GraftExtensions behave
+  * identically to the Column API / plain-Scala canon. Uses the install()
+  * path on the shared suite session — builder.withExtensions is silently
+  * ignored by getOrCreate() when any session already exists in the JVM, so
+  * a suite-local session would depend on suite ordering.
   */
-class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
-
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    SparkEntry.configure(s)
-  }
+class ExtensionsSpec extends SparkSpecBase {
 
   test("canon_url / url_host / product_code / graft_hash64 work from SQL") {
+    graft.plans.GraftExtensions.install(spark)
     val rows = spark.sql(
       """SELECT
         |  canon_url('HTTPS://WWW.Shop.COM:443/vp/products/9?b=2&a=1#f',
