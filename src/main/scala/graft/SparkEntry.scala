@@ -20,6 +20,11 @@ object SparkEntry {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // AQE coalesces shuffle partitions by BYTES; the dedup/ANN stages carry
+    // few bytes per row but heavy per-row CPU (array set ops, pair
+    // enumeration), so the 64m default collapses them onto one core. 4m
+    // keeps those stages wide without fragmenting genuinely large shuffles.
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
     spark
   }
 

@@ -129,6 +129,21 @@ object Bloom {
   }
 }
 
+/** The merged seen-set Bloom segments as one probe object. Top-level class
+  * (NOT nested in an object) deliberately: its JVM name
+  * `graft.operators.SegmentedBloom` is valid Java *source*, so the codegen'd
+  * BloomMightContain expression can cast to it inside Janino-compiled code —
+  * a nested Scala type's `Foo$Bar`/`[LFoo$Bar;` name is not, and a bad cast
+  * class silently downgrades the whole stage to interpreted execution.
+  */
+final class SegmentedBloom(val segments: Array[Bloom.Filter]) extends Serializable {
+  private val n = segments.length
+  def mightContain(s: String): Boolean = {
+    val id = (graft.functions.CanonJvm.md5Long(s) % n).toInt
+    segments(id).mightContain(s)
+  }
+}
+
 object Seen {
 
   /** J2 + D3: drop candidates already in the seen set. The Bloom segments
@@ -152,7 +167,13 @@ object Seen {
         // includes the probe-side Bloom verdict: "definitely new" rows
         // never match (kept), "maybe seen" rows match exactly when the
         // exact set contains them (dropped by the null filter).
-        val maybe = graft.plans.BloomMightContain(col(urlCol), segs)
+        //
+        // The segments ship as a sparkContext.broadcast — ONE transfer per
+        // executor per epoch — not as a closure/plan capture, which would
+        // reserialize the (multi-MB at 10^10-URL scale) filter array with
+        // every task.
+        val bc = spark.sparkContext.broadcast(new SegmentedBloom(segs))
+        val maybe = graft.plans.BloomMightContain(col(urlCol), bc)
         val marker = seen.select(col("canon_url").as("_seen_url"),
           lit(true).as("_in_seen"))
         candidates

@@ -1,49 +1,51 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.Bloom
+import graft.operators.SegmentedBloom
 
 /** Native Catalyst expression for the Bloom seen-set membership probe
   * (SURVEY.md §4.2: custom Expression preferred over a Scala UDF — a UDF
   * forces UTF8String→String conversion through a boxed function call and
   * blocks whole-stage codegen's null-elision; this stays codegen'd).
   *
-  * The segment array rides inside the expression (captured at plan time,
-  * serialized with the task closure like a broadcast literal). Segment
-  * choice uses the same md5-prefix hash as the distributed build
-  * (Canon.md5Long / CanonJvm.md5Long).
+  * The segments arrive via a `Broadcast[SegmentedBloom]`: the expression
+  * holds only the (tiny) broadcast handle, so task closures stay small and
+  * the filter array ships once per executor per epoch. Codegen materializes
+  * `broadcast.value()` into a mutable state field at generated-class init —
+  * one `value()` call per task, not per row. Segment choice uses the same
+  * md5-prefix hash as the distributed build (Canon.md5Long / CanonJvm
+  * .md5Long), implemented inside SegmentedBloom.mightContain.
   */
-final case class BloomMightContain(child: Expression, segments: Array[Bloom.Filter])
+final case class BloomMightContain(child: Expression, bloom: Broadcast[SegmentedBloom])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "bloom_might_contain"
 
-  @transient private lazy val nSeg = segments.length
+  @transient private lazy val segs = bloom.value
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val id = (graft.functions.CanonJvm.md5Long(s) % nSeg).toInt
-    segments(id).mightContain(s)
-  }
+  override def nullSafeEval(v: Any): Any =
+    segs.mightContain(v.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // ship the segment array once per task via a codegen reference object
-    val segsRef = ctx.addReferenceObj("bloomSegs", segments,
-      classOf[Array[Bloom.Filter]].getName)
-    val nSegLit = segments.length
+    // both class names below are top-level JVM classes whose getName is
+    // valid Java source — a requirement for Janino casts (see SegmentedBloom)
+    val bcClass = classOf[Broadcast[_]].getName
+    val segClass = classOf[SegmentedBloom].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom, bcClass)
+    val segsTerm = ctx.addMutableState(segClass, "bloomSegs",
+      v => s"$v = ($segClass) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, c => {
       val sv = ctx.freshName("bmcStr")
-      val idv = ctx.freshName("bmcSeg")
       s"""
          |String $sv = $c.toString();
-         |int $idv = (int) (graft.functions.CanonJvm.md5Long($sv) % $nSegLit);
-         |${ev.value} = $segsRef[$idv].mightContain($sv);
+         |${ev.value} = $segsTerm.mightContain($sv);
        """.stripMargin
     })
   }
@@ -54,6 +56,6 @@ final case class BloomMightContain(child: Expression, segments: Array[Bloom.Filt
 
 object BloomMightContain {
   import org.apache.spark.sql.graftbridge.Bridge
-  def apply(c: Column, segments: Array[Bloom.Filter]): Column =
-    Bridge.column(BloomMightContain(Bridge.expression(c), segments))
+  def apply(c: Column, bloom: Broadcast[SegmentedBloom]): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(c), bloom))
 }

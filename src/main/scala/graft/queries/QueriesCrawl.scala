@@ -247,8 +247,8 @@ object QueriesCrawl {
          |costed AS (SELECT *, 1000 + (${duckMd5Long("canon_url")} % 3000) AS cost_ms FROM front),
          |ranked AS (SELECT *,
          |  row_number() OVER (PARTITION BY host ORDER BY score DESC, depth ASC, canon_url ASC) AS rank,
-         |  sum(cost_ms) OVER (PARTITION BY host ORDER BY score DESC, depth ASC, canon_url ASC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ms
+         |  (sum(cost_ms) OVER (PARTITION BY host ORDER BY score DESC, depth ASC, canon_url ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_ms
          |  FROM costed)
          |SELECT host, canon_url, rank, cost_ms, cum_ms FROM ranked
          |WHERE cum_ms <= 12000 ORDER BY host, rank""".stripMargin))

@@ -50,7 +50,7 @@ object QueriesRelational {
     Some(
       """SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
         |  sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS total,
-        |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent
+        |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)::BIGINT AS n_urgent
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   /** A5: ordered content concatenation per group (reference: review content

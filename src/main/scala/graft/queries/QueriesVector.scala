@@ -32,6 +32,27 @@ object QueriesVector {
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** Salted co-partitioned cell join (the 100 TB path for the in-cell ANN
+    * scans): both sides shuffle ONCE on (cell, salt) — never a forced
+    * broadcast of the corpus, which would OOM the executors the moment the
+    * vector table outgrows them. The probe side takes one deterministic salt
+    * per row; the build side replicates each row across all SALT values, so
+    * a hot cell spreads over SALT partitions instead of landing on one core
+    * (and a low-cardinality cell key can no longer one-partition the join).
+    * Pair count is unchanged — each (probe, in-cell build) pair meets in
+    * exactly one salt bucket.
+    */
+  private val SALT = 8
+
+  private def saltedCellJoin(probe: DataFrame, probeId: String,
+      build: DataFrame, cellCol: String): DataFrame = {
+    val p = probe.withColumn("_salt",
+      pmod(col(probeId), lit(SALT.toLong)).cast("int"))
+    val b = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(SALT - 1))))
+    p.join(b, Seq(cellCol, "_salt")).drop("_salt")
+  }
+
   /** Brute-force cosine top-k for the first 10 vectors as queries. */
   private val q28 = Q("q28_ann_brute_topk",
     (s, dir) => {
@@ -76,8 +97,7 @@ object QueriesVector {
           col("v").as("nv"), col("nrm").as("nn"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("n_id").asc)
-      q.repartition(s.sparkContext.defaultParallelism, col("q_id"))
-        .join(broadcast(n), Seq("label"))
+      saltedCellJoin(q, "q_id", n, "label")
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("label"), col("n_id"),
           (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
@@ -109,8 +129,7 @@ object QueriesVector {
           col("v").as("nv"), col("nrm").as("nn"))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cos").desc, col("n_id").asc)
-      a.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .join(broadcast(b), Seq("label"))
+      saltedCellJoin(a, "vec_id", b, "label")
         .filter(col("vec_id") =!= col("n_id"))
         .select(col("vec_id"), col("n_id"),
           (dot(col("v"), col("nv")) / (col("nrm") * col("nn"))).as("cos"))
@@ -160,8 +179,7 @@ object QueriesVector {
         col("v").as("nv"), col("nrm").as("nn"))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cos").desc, col("n_id").asc)
-      val nn = b.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .join(broadcast(mates), Seq("bucket"))
+      val nn = saltedCellJoin(b, "vec_id", mates, "bucket")
         .filter(col("vec_id") =!= col("n_id"))
         .select(col("vec_id"), col("bucket"), col("n_id"),
           (dot(col("v"), col("nv")) / (col("nrm") * col("nn"))).as("cos"))

@@ -21,6 +21,18 @@ object Registry {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Table scan spread over all cores. Small parquet files arrive as ONE
+    * scan partition (a single row group is unsplittable), which serializes
+    * every downstream per-row computation; queries whose per-row work is
+    * heavy (tokenization, MinHash, SimHash) repartition the scan first —
+    * one trivial shuffle of the raw rows buys full-width parallelism for
+    * the expensive projections. At real scale the scan is already wide and
+    * this exchange is the usual explicit-repartition before CPU-bound map
+    * stages.
+    */
+  def tblSpread(s: SparkSession, dir: String, name: String): DataFrame =
+    tbl(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** DuckDB expression computing graft.functions.Canon.md5Long(x). */
   def duckMd5Long(x: String): String =
     s"('0x'||substr(md5($x),1,15))::BIGINT"

@@ -36,12 +36,28 @@ class PlanSpec extends SparkSpecBase {
       s"expected WindowGroupLimit rewrite:\n$p")
   }
 
-  test("q26 jaccard block join: broadcast build side, no shuffle join on lang") {
+  test("q26 jaccard: LSH-banded blocking, no all-pairs join shape") {
     val p = planOf("q26_dedup_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"expected broadcast join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      "5-key lang join must not sort-merge (single-partition skew)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs (non-equi) join shape leaked back:\n$p")
+    // candidate pairs: codegen'd equi-join on the band key + distinct with
+    // map-side partial dedup before the shuffle (not an interpreted
+    // bucket-collect explode)
+    assert(p.contains("partial"),
+      s"expected partial (map-side) dedup aggregate in pair generation:\n$p")
+  }
+
+  test("corpus-sized join sides carry no forced broadcast hint (q24/q26/q29/q30/q37)") {
+    // scale rule: broadcast() of an unbounded table OOMs at 100 TB; only
+    // AQE's runtime size measurement may pick a broadcast. A forced hint
+    // shows up as ResolvedHint in the analyzed plan.
+    for (n <- Seq("q24_dedup_minhash_pairs", "q26_dedup_ngram_jaccard",
+        "q29_ann_ivf_label", "q30_dedup_embed_nn", "q37_ann_lsh_hyperplane")) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$n forces a broadcast of a corpus-sized table:\n$analyzed")
+    }
   }
 
   test("scheduler rank+budget: exactly one exchange (host) feeds both window functions") {
