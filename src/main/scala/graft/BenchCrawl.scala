@@ -58,17 +58,15 @@ object BenchCrawl {
     val frontier = frontierDf(spark, n, nHosts, seed)
     val frontierUrls = frontier.select("canon_url").distinct().cache()
     // previous-epoch state: the even half's discoveries are already seen
-    val prevCand = Extract.canonCandidates(
+    val prevCand = Extract.canonUrlSet(
       docsOf(frontier.filter(col("i") % 2 === 0), seed, nHosts))
-      .select("canon_url")
     val seen = frontierUrls.unionAll(prevCand).distinct().cache()
     val nFrontier = frontierUrls.count()
     seen.count()
 
     val t0 = System.nanoTime()
     val docs = docsOf(frontierUrls, seed, nHosts)
-    val cand = Extract.canonCandidates(docs)
-      .select("canon_url").distinct()
+    val cand = Extract.canonUrlSet(docs)
     val segs = Bloom.collectSegments(
       Bloom.buildSegments(seen, "canon_url", SEGMENTS, BITS), SEGMENTS, BITS)
     val fresh = Seen.filterUnseen(cand, "canon_url", seen, Some(segs))
@@ -101,7 +99,7 @@ object BenchCrawl {
             val i = sc.stageInfo
             val dur = for { a <- i.submissionTime; b <- i.completionTime } yield b - a
             System.err.println(
-              f"[stage] ${i.stageId}%4d tasks=${i.numTasks}%4d wall=${dur.getOrElse(-1L)}%6dms cpu=${i.taskMetrics.executorRunTime}%7dms")
+              f"[stage] ${i.stageId}%4d tasks=${i.numTasks}%4d wall=${dur.getOrElse(-1L)}%6dms run=${i.taskMetrics.executorRunTime}%7dms cpu=${i.taskMetrics.executorCpuTime / 1000000}%7dms gc=${i.taskMetrics.jvmGCTime}%6dms")
           }
         })
     }

@@ -61,7 +61,10 @@ object Crawl {
     val fetched = metrics.map(_("fetched")).sum
     val discovered = metrics.map(_("discovered")).sum
     val emitted = metrics.map(_("emitted")).sum
-    val urlsPerSec = (fetched + discovered) / dt
+    // numerator = fetched + post-dedup fresh URLs ("deduped" in the metric
+    // name means "survived dedup") — the SAME definition BenchCrawl/Bench
+    // use (nFrontier + fresh), so the two entry points are comparable
+    val urlsPerSec = (fetched + emitted) / dt
     val epochJson = metrics.map(m =>
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")).mkString("[", ",", "]")

@@ -34,7 +34,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A crash before (3) leaves LATEST at the previous snapshot; orphan data
   * dirs are ignored because readers only follow manifest-referenced paths.
   */
-final class SnapshotStore(rootDir: String, spark: SparkSession) {
+final class SnapshotStore(rootDir: String, spark: SparkSession,
+    seenBuckets: Int = 32) {
   private val mapper = new ObjectMapper
   private val root = new HPath(rootDir)
   private val fc = FileContext.getFileContext(
@@ -120,6 +121,94 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
     atomicWrite(new HPath(manifestDir, "LATEST"), v.toString)
     m
+  }
+
+  // ------------------------------------------------ bucketed seen table
+  //
+  // The URL-seen set is append-only and joined against EVERY epoch's
+  // candidates; storing it as plain parquet forces the anti-join to
+  // reshuffle the entire (10^10-row at target scale) table per epoch. It
+  // lives instead in a catalog-registered external parquet table bucketed
+  // by canon_url — the scan then reports HashPartitioning(canon_url,
+  // seenBuckets), so only the (small, per-epoch) candidate side shuffles.
+  // Epoch partitioning gives two more properties:
+  //  - resume exactness: each epoch writes via dynamic partition OVERWRITE
+  //    of its own epoch=<N> directory, so a crash between the seen append
+  //    and the manifest commit is healed by the re-run overwriting the
+  //    same partition — never duplicating it. Readers additionally gate on
+  //    epoch <= the manifest's committed epoch (partition-pruned), so
+  //    uncommitted partitions are invisible.
+  //  - log-structured appends: old epochs' files are never rewritten
+  //    (compaction = periodic rewrite into one low epoch, same table).
+  // The catalog entry is in-memory per session; reopening a store in a new
+  // JVM re-registers the table from the same LOCATION and recovers its
+  // partition list (the Iceberg-catalog analog under constraint C1).
+
+  private val seenTable: String =
+    "graft_seen_" + Integer.toHexString(
+      new java.io.File(rootDir).getAbsolutePath.hashCode & 0x7fffffff)
+  private val seenLocation = new HPath(root, "data/seen_bucketed").toString
+  @volatile private var seenRegistered = false
+
+  private def ensureSeenTable(): Unit = if (!seenRegistered) synchronized {
+    if (!seenRegistered) {
+      // MSCK needs the location to exist; CREATE TABLE does not mkdir it
+      fc.mkdir(new HPath(seenLocation), FsPermission.getDirDefault, true)
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $seenTable (canon_url STRING, epoch BIGINT)
+           |USING PARQUET PARTITIONED BY (epoch)
+           |CLUSTERED BY (canon_url) INTO $seenBuckets BUCKETS
+           |LOCATION '$seenLocation'""".stripMargin)
+      spark.sql(s"MSCK REPAIR TABLE $seenTable")
+      seenRegistered = true
+    }
+  }
+
+  /** Idempotently (over)write epoch `epoch`'s slice of the seen set. */
+  def appendSeen(urls: DataFrame, epoch: Long): Unit = {
+    ensureSeenTable()
+    // dynamic mode scopes the overwrite to the epoch partitions actually
+    // written (exactly one here) — the DataFrameWriter-level option of the
+    // same name is not honored by insertInto, only the session conf is
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try urls
+      .select(org.apache.spark.sql.functions.col("canon_url"),
+        org.apache.spark.sql.functions.lit(epoch).as("epoch"))
+      .write.mode("overwrite")
+      .insertInto(seenTable)
+    finally spark.conf.set(key, prev)
+  }
+
+  /** The seen set as of committed epoch `maxEpoch` (bucketed scan; later,
+    * uncommitted epoch partitions are pruned out).
+    */
+  def readSeen(maxEpoch: Long): DataFrame = {
+    ensureSeenTable()
+    spark.table(seenTable)
+      .filter(org.apache.spark.sql.functions.col("epoch") <= maxEpoch)
+      .select("canon_url")
+  }
+
+  /** Log-compaction of the seen table: fold every epoch partition in
+    * [0, upTo] into a single distinct epoch=0 partition, then drop the
+    * folded partitions. Crash-safe without coordination because `seen` is a
+    * SET under anti-join semantics: a crash after the fold but before the
+    * drops leaves duplicate rows across partitions, which changes no query
+    * result and is cleaned by the next compaction. (DROP PARTITION on an
+    * external table removes catalog entries, not files — orphaned data
+    * files are invisible to readers and reclaimable by a path GC.)
+    */
+  def compactSeen(upTo: Long): Unit = {
+    ensureSeenTable()
+    val staged = new HPath(root, s"data/seen_compact_v$upTo").toString
+    readSeen(upTo).distinct().write.mode("overwrite").parquet(staged)
+    appendSeen(spark.read.parquet(staged), 0L)
+    (1L to upTo).foreach(e =>
+      spark.sql(s"ALTER TABLE $seenTable DROP IF EXISTS PARTITION (epoch=$e)"))
+    fc.delete(new HPath(staged), true)
+    ()
   }
 
   /** Durable write-then-rename: content is flushed AND synced to stable

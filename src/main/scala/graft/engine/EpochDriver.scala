@@ -27,13 +27,38 @@ final class EpochDriver(
     maxRetries: Int = 3,
     bloomSegments: Int = 8,
     bloomBitsPerSegment: Int = 1 << 16,
-    useBloom: Boolean = true) {
+    useBloom: Boolean = true,
+    // fold seen epoch partitions every N epochs (0 = off); purely a
+    // file-count/scan-cost optimization — set semantics are unchanged, so
+    // it is NOT part of the resume-guarded config
+    compactSeenEvery: Int = 0) {
 
   import spark.implicits._
 
   private val defaultDelayMs = 2500L
   private val robots = Sched.robotsDf(spark,
     (0 until nHosts).map(graft.gen.SimWeb.hostName), seed)
+
+  /** Engine parameters that define crawl semantics, persisted into every
+    * snapshot manifest and require-matched on resume: re-invoking with
+    * different CLI args would otherwise silently continue the crawl under
+    * different scheduling/dedup semantics (and mismatched Bloom geometry
+    * would mis-route segment probes).
+    */
+  private val cfg: Map[String, Long] = Map(
+    "cfg_seed" -> seed,
+    "cfg_n_hosts" -> nHosts.toLong,
+    "cfg_epoch_budget_ms" -> epochBudgetMs,
+    "cfg_salt_buckets" -> saltBuckets.toLong,
+    "cfg_max_retries" -> maxRetries.toLong,
+    "cfg_bloom_segments" -> bloomSegments.toLong,
+    "cfg_bloom_bits" -> bloomBitsPerSegment.toLong)
+
+  private def requireCfgMatch(counters: Map[String, Long]): Unit =
+    cfg.foreach { case (k, v) =>
+      counters.get(k).foreach(pv => require(pv == v,
+        s"resume config mismatch: $k snapshot=$pv, this driver=$v"))
+    }
 
   /** Initialize snapshot v0 from the ordered seed list. */
   def init(seedUrls: Seq[String]): Unit = {
@@ -48,11 +73,16 @@ final class EpochDriver(
         lit("pending").as("state"), lit(0).as("retry_count"),
         lit(0L).as("discovered_epoch"))
     val seen = frontier.select("canon_url")
+    // bucketed seen append is idempotent per epoch (dynamic partition
+    // overwrite), so writing it before the manifest commit preserves
+    // all-or-nothing resume semantics: an uncommitted epoch partition is
+    // both invisible to readers (epoch gate) and overwritten on re-run
+    store.appendSeen(seen, 0L)
     store.commit(0L,
       replace = Map("frontier" -> frontier),
-      append = Map("seen" -> seen,
+      append = Map(
         "seen_bloom" -> Bloom.buildSegments(seen, "canon_url", bloomSegments, bloomBitsPerSegment)),
-      counters = Map("seeds" -> frontier.count()),
+      counters = cfg + ("seeds" -> frontier.count()),
       partitionedBy = Map("frontier" -> "state"))
     ()
   }
@@ -60,9 +90,12 @@ final class EpochDriver(
   /** Run one epoch on top of the latest snapshot; returns epoch metrics. */
   def runEpoch(): Map[String, Long] = {
     val m = store.latest().getOrElse(sys.error("store not initialized"))
+    requireCfgMatch(m.counters)
     val epoch = m.epoch + 1
     val frontier = store.readTable(m, "frontier").get
-    val seen = store.readTable(m, "seen").get
+    // bucketed scan: the (huge, append-only) seen side of the anti-join
+    // arrives pre-partitioned by hash(canon_url) — no big-side Exchange
+    val seen = store.readSeen(m.epoch)
 
     // ---- schedule: W2 rank + T4 budget over the pending frontier
     val pending = frontier.filter(col("state") === "pending")
@@ -145,19 +178,22 @@ final class EpochDriver(
       .toDF("epoch", "fetched", "errors", "discovered", "deduped", "emitted")
 
     // seen + its Bloom segments are append-only: each epoch contributes only
-    // its fresh URLs; readers union the parquet paths and OR-merge segments
-    // (at 10^10 scale this is the log-structured write path; compaction
-    // would fold old segments periodically)
+    // its fresh URLs; seen goes to the bucketed table (epoch-partitioned,
+    // idempotent overwrite — see SnapshotStore), Bloom readers OR-merge
+    // segments (at 10^10 scale this is the log-structured write path;
+    // compaction folds old epochs/segments periodically, compactSeenEvery)
+    store.appendSeen(fresh.select("canon_url"), epoch)
     store.commit(epoch,
       replace = Map("frontier" -> newFrontier),
       append = Map(
-        "seen" -> fresh.select("canon_url"),
         "seen_bloom" -> Bloom.buildSegments(fresh.select("canon_url"),
           "canon_url", bloomSegments, bloomBitsPerSegment),
         "docs" -> okDocs, // the crawled interleaved-span corpus itself
         "fetch_log" -> fetchLog, "metrics" -> metricsDf),
-      counters = counters,
+      counters = cfg ++ counters,
       partitionedBy = Map("frontier" -> "state"))
+    if (compactSeenEvery > 0 && epoch % compactSeenEvery == 0)
+      store.compactSeen(epoch)
     fetched.unpersist(); candDepth.unpersist(); fresh.unpersist()
     counters
   }
@@ -180,7 +216,7 @@ final class EpochDriver(
   def frontier(): DataFrame =
     store.latest().flatMap(m => store.readTable(m, "frontier")).get
   def seenSet(): DataFrame =
-    store.latest().flatMap(m => store.readTable(m, "seen")).get
+    store.latest().map(m => store.readSeen(m.epoch)).get
   def fetchLog(): Option[DataFrame] =
     store.latest().flatMap(m => store.readTable(m, "fetch_log"))
   def metrics(): Option[DataFrame] =

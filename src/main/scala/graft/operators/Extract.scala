@@ -39,4 +39,20 @@ object Extract {
       .select(col("canon_url"), col("host"), col("doc_id").as("src_doc"))
       .distinct()
   }
+
+  /** The distinct canonical-URL SET of a corpus — for consumers that need
+    * no per-source attribution (seen-set building, the bench's dedup
+    * stage). One shuffle on canon_url alone; going through canonCandidates
+    * + a second distinct would shuffle the full (canon_url, host, src_doc)
+    * stream twice for the same result.
+    */
+  def canonUrlSet(docs: DataFrame): DataFrame = {
+    val cand = candidates(docs)
+      .withColumn("_base",
+        regexp_extract(col("doc_id"), "^([a-z]+://[^/?#]*)", 1))
+    Canon.canonicalizeCol(cand, "url", col("_base"))
+      .filter(Canon.isHttp(col("canon_url")))
+      .select("canon_url")
+      .distinct()
+  }
 }

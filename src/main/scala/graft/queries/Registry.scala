@@ -41,7 +41,8 @@ object Registry {
   // initialization — a strict val here would deadlock into nulls
   lazy val all: Seq[Q] =
     QueriesCrawl.qs ++ QueriesCrawl2.qs ++ QueriesRelational.qs ++
-      QueriesText.qs ++ QueriesVector.qs ++ QueriesPipeline.qs
+      QueriesText.qs ++ QueriesVector.qs ++ QueriesPipeline.qs ++
+      QueriesFidelity.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -34,12 +34,32 @@ object FrontierStream {
         approx_count_distinct("canon_url").as("n_distinct_approx"))
   }
 
+  /** Idle host state expires after this much processing time — the host set
+    * of a crawl is unbounded, so without a timeout per-host state would
+    * accumulate forever (state size would track every host ever seen
+    * instead of the active working set).
+    *
+    * Deployment note: run the gate with a non-zero processing-time trigger
+    * (e.g. Trigger.ProcessingTime("30 seconds")). Pending timeouts make a
+    * zero-interval/AvailableNow query schedule empty micro-batches
+    * back-to-back until the timeout deadline — a busy loop, not progress.
+    */
+  val IDLE_STATE_TIMEOUT = "10 minutes"
+
   /** Stateful per-host politeness gate: at most one emission per
     * `delayMs` of *event time* per host; the rest are suppressed and
-    * counted. KeyValueGroupedDataset.mapGroupsWithState with processing-time
-    * timeout — the streaming analog of the epoch engine's token bucket
-    * (T4). Event order inside a trigger batch is made deterministic by
-    * sorting on (ts, canon_url).
+    * counted. KeyValueGroupedDataset.flatMapGroupsWithState with a
+    * processing-time idle timeout — the streaming analog of the epoch
+    * engine's token bucket (T4). Event order inside a trigger batch is made
+    * deterministic by sorting on (ts, canon_url).
+    *
+    * Cross-trigger ordering contract: events are gated in ARRIVAL (trigger)
+    * order. A late event whose ts predates the host's lastEmittedMs but
+    * that arrives in a later trigger is treated as over-rate and suppressed
+    * (its event-time delta is negative) — politeness is a rate LIMIT, so
+    * suppressing late stragglers errs on the polite side; bound genuine
+    * lateness upstream with a watermark (as windowedDiscoveryCounts does)
+    * if late data must instead be dropped.
     */
   def politenessGate(discoveries: Dataset[Discovery], base: String,
       delayMs: Long): Dataset[Gated] = {
@@ -53,22 +73,31 @@ object FrontierStream {
     canoned
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+        GroupStateTimeout.ProcessingTimeTimeout)(
         (host: String, rows: Iterator[(String, String, java.sql.Timestamp)],
             state: GroupState[HostState]) => {
-          var st = state.getOption.getOrElse(HostState(-1L, 0L, 0L))
-          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).map { r =>
-            val t = r._3.getTime
-            if (st.lastEmittedMs < 0 || t - st.lastEmittedMs >= delayMs) {
-              st = HostState(t, st.emitted + 1, st.suppressed)
-              Gated(host, r._2, emitted = true)
-            } else {
-              st = st.copy(suppressed = st.suppressed + 1)
-              Gated(host, r._2, emitted = false)
+          if (state.hasTimedOut) {
+            // idle host: release its state; a future discovery simply
+            // starts fresh (first event after expiry always emits, which is
+            // correct — the host has been quiet for >= the timeout)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(HostState(-1L, 0L, 0L))
+            val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).map { r =>
+              val t = r._3.getTime
+              if (st.lastEmittedMs < 0 || t - st.lastEmittedMs >= delayMs) {
+                st = HostState(t, st.emitted + 1, st.suppressed)
+                Gated(host, r._2, emitted = true)
+              } else {
+                st = st.copy(suppressed = st.suppressed + 1)
+                Gated(host, r._2, emitted = false)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(IDLE_STATE_TIMEOUT)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 }

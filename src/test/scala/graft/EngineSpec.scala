@@ -108,6 +108,19 @@ class EngineSpec extends SparkSpecBase {
     assert(state(a) == state(b2))
   }
 
+  test("resume with different engine parameters is rejected") {
+    val dir = tmpDir()
+    val a = newDriver(dir)
+    a.init(seeds)
+    a.runEpoch()
+    // same store, different politeness budget: silently continuing would
+    // change crawl semantics mid-run — must fail loudly
+    val b = new EpochDriver(spark, new SnapshotStore(dir, spark), seed, nHosts,
+      epochBudgetMs = budget * 2)
+    val e = intercept[IllegalArgumentException](b.runEpoch())
+    assert(e.getMessage.contains("resume config mismatch"))
+  }
+
   test("uncommitted garbage in the store is ignored on resume") {
     val dir = tmpDir()
     val a = newDriver(dir)

@@ -48,8 +48,14 @@ class StreamingSpec extends SparkSpecBase {
       Discovery(ts(7), "https://other.com/z")) // emit (different host)
     val q = FrontierStream.politenessGate(in.toDS(), base, delayMs = 5000L)
       .writeStream.outputMode("append").format("memory")
-      .queryName("gated").trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
+      .queryName("gated").start()
+    // no processAllAvailable here: the gate's ProcessingTimeTimeout keeps
+    // the (zero-interval) test query scheduling empty batches until the
+    // idle deadline, so "all available" never quiesces — poll the sink for
+    // the expected rows instead, then stop
+    val deadline = System.currentTimeMillis() + 120000L
+    while (spark.table("gated").count() < 4 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
     val rows = spark.table("gated").collect()
       .map(r => (r.getString(1), r.getBoolean(2))).toMap
     q.stop()
