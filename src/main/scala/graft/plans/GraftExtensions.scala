@@ -49,6 +49,11 @@ object GraftExtensions {
       "graft_hash64(s) - portable 60-bit md5-prefix hash") { es =>
       require(es.size == 1, "graft_hash64(s)")
       Bridge.expression(Canon.md5Long(Bridge.column(es.head)))
+    },
+    fn("dot_product",
+      "dot_product(a, b) - codegen'd dot product over two ARRAY<DOUBLE>") { es =>
+      require(es.size == 2, "dot_product(a, b)")
+      DotProduct(es.head, es(1))
     })
 
   /** Register the same functions on an already-built session (getOrCreate

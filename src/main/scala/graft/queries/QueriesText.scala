@@ -246,40 +246,115 @@ object QueriesText {
 
   val SIMHASH_BITS = 48
 
-  /** SimHash-48 per doc (packed long), computed by the explode/groupBy
-    * formulation (scales linearly; no 48-way expression blowup).
+  /** (doc_id, simhash) — SimHash-48 packed long, computed by the
+    * explode/groupBy formulation (scales linearly; no 48-way expression
+    * blowup). Shared by q25 and the q44 near-dup pair scan.
     */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val toks = tblSpread(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
+      .withColumn("h", Canon.md5Long(col("tok")))
+    val votes = (0 until SIMHASH_BITS).map { b =>
+      sum(when(pmod(shiftright(col("h"), b), lit(2L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SIMHASH_BITS)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** DuckDB CTE `sim`: (doc_id, simhash) mirroring simhashDf. */
+  private val duckSimhashCte: String = {
+    val votes = (0 until SIMHASH_BITS).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n  ")
+    val pack = (0 until SIMHASH_BITS)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""_st AS (SELECT doc_id,
+       |  unnest(list_distinct(${duckTokens("text")})) AS tok FROM documents),
+       |_sh AS (SELECT doc_id, ${duckMd5Long("tok")} AS h FROM _st),
+       |_sv AS (SELECT doc_id, $votes FROM _sh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $pack AS simhash FROM _sv)""".stripMargin
+  }
+
   private val q25 = Q("q25_dedup_simhash",
+    (s, dir) => simhashDf(s, dir).orderBy("doc_id"),
+    Some(
+      s"""WITH $duckSimhashCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin))
+
+  /** SimHash near-dup pairs, Manku-style: split the 48-bit hash into 4
+    * 12-bit bands; any pair within hamming distance ≤ 3 must agree exactly
+    * on at least one band (pigeonhole: 3 differing bits cannot touch all 4
+    * bands), so band-equality candidate generation is EXACT — 100% recall
+    * with no all-pairs scan — and the cheap bit_count verify keeps only
+    * true near-dups. The self-join carries the packed hash (one long), so
+    * verification costs no extra join.
+    */
+  val HAMMING_MAX = 3
+  val SIM_BANDS = 4
+  private val SIM_BAND_BITS = SIMHASH_BITS / SIM_BANDS
+
+  private val q44 = Q("q44_dedup_simhash_pairs",
     (s, dir) => {
-      val toks = tblSpread(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
-        .withColumn("h", Canon.md5Long(col("tok")))
-      val votes = (0 until SIMHASH_BITS).map { b =>
-        sum(when(pmod(shiftright(col("h"), b), lit(2L)) === 1L, 1L)
-          .otherwise(-1L)).as(s"v$b")
-      }
-      toks.groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until SIMHASH_BITS)
-            .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-        .orderBy("doc_id")
+      val sim = simhashDf(s, dir)
+      // duplicate collapse (same structure as q26): docs sharing the exact
+      // simhash form a group; banding + pair-gen run over distinct hashes
+      // only, expansion to doc pairs happens after the hamming verify
+      // (intra-group pairs are hd=0 by construction)
+      val g = sim.groupBy("simhash").agg(min("doc_id").as("gid"))
+      val md = sim.join(g, Seq("simhash")).select(col("doc_id"), col("gid"))
+      val bands = g.select(col("gid"), col("simhash"),
+        posexplode(array((0 until SIM_BANDS).map(b =>
+          shiftright(col("simhash"), b * SIM_BAND_BITS)
+            .bitwiseAND(lit((1L << SIM_BAND_BITS) - 1))): _*))
+          .as(Seq("band_id", "band_key")))
+      val gp = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.gid") < col("y.gid"))
+        .select(col("x.gid").as("ga"), col("y.gid").as("gb"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            .cast("int").as("hd"))
+        .filter(col("hd") <= HAMMING_MAX)
+        .distinct()
+      val cross = gp
+        .join(md.as("ma"), col("ga") === col("ma.gid"))
+        .select(col("ma.doc_id").as("da"), col("gb"), col("hd"))
+        .join(md.as("mb"), col("gb") === col("mb.gid"))
+        .select(least(col("da"), col("mb.doc_id")).as("doc_a"),
+          greatest(col("da"), col("mb.doc_id")).as("doc_b"), col("hd"))
+      val intra = md.as("u").join(md.as("v"),
+          col("u.gid") === col("v.gid") && col("u.doc_id") < col("v.doc_id"))
+        .select(col("u.doc_id").as("doc_a"), col("v.doc_id").as("doc_b"),
+          lit(0).as("hd"))
+      cross.unionAll(intra).orderBy("doc_a", "doc_b")
     },
-    Some {
-      val votes = (0 until SIMHASH_BITS).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-        .mkString(",\n  ")
-      val pack = (0 until SIMHASH_BITS)
-        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id,
-         |  unnest(list_distinct(${duckTokens("text")})) AS tok FROM documents),
-         |h AS (SELECT doc_id, ${duckMd5Long("tok")} AS h FROM t),
-         |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-         |SELECT doc_id, $pack AS simhash FROM v ORDER BY doc_id""".stripMargin
-    })
+    Some(
+      s"""WITH $duckSimhashCte,
+         |g AS (SELECT simhash, min(doc_id) AS gid FROM sim GROUP BY simhash),
+         |md AS (SELECT sim.doc_id, g.gid FROM sim JOIN g USING (simhash)),
+         |bands AS (SELECT gid, simhash, i AS band_id,
+         |  (simhash >> (i * $SIM_BAND_BITS)) & ${(1L << SIM_BAND_BITS) - 1} AS band_key
+         |  FROM g, (SELECT unnest(range(0, $SIM_BANDS)) AS i) _i),
+         |gp AS (SELECT DISTINCT x.gid AS ga, y.gid AS gb,
+         |  bit_count(xor(x.simhash, y.simhash))::INT AS hd
+         |  FROM bands x JOIN bands y
+         |  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.gid < y.gid
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $HAMMING_MAX),
+         |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |  greatest(ma.doc_id, mb.doc_id) AS doc_b, hd
+         |  FROM gp JOIN md ma ON gp.ga = ma.gid JOIN md mb ON gp.gb = mb.gid),
+         |intra AS (SELECT u.doc_id AS doc_a, v.doc_id AS doc_b, 0::INT AS hd
+         |  FROM md u JOIN md v ON u.gid = v.gid AND u.doc_id < v.doc_id)
+         |SELECT doc_a, doc_b, hd FROM crossp
+         |UNION ALL SELECT doc_a, doc_b, hd FROM intra
+         |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** Word-set Jaccard near-dup pairs, blocked by MinHash LSH bands over the
     * word sets (8 bands × 4 rows, reusing the q23/q24 band machinery) so the
@@ -416,5 +491,5 @@ object QueriesText {
          |  1 + ${duckMd5Long("doc_id::VARCHAR||'f'")} % 30 AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+  val qs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q44)
 }

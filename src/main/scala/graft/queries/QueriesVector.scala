@@ -16,8 +16,12 @@ import Registry.tbl
   */
 object QueriesVector {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // native codegen'd expression (graft.plans.DotProduct): the HOF form
+  // aggregate(zip_with(a,b,_*_), 0.0, _+_) is CodegenFallback and runs an
+  // interpreted lambda per element inside the pair-scan inner loop; the
+  // expression emits the identical left-fold (bit-equal doubles, matching
+  // DuckDB's list_dot_product) as a compiled loop
+  private def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
 
   /** embeddings with double-cast vector + precomputed norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
