@@ -183,7 +183,9 @@ object QueriesFidelity {
     * query and the DuckDB oracle read — so S2/S3 extraction is verified on
     * REAL span rows, not doc_id-synthesized text.
     */
-  val spansFixturePath = "/root/repo/target/fixtures/spans_oracle"
+  // NOT under target/: an `sbt clean` between Verify and the driver's
+  // DuckDB pass would otherwise delete the fixture the oracle SQL reads
+  val spansFixturePath = "/root/.graft/fixtures/spans_oracle"
   private val FIX_SEED = 7L
   private val FIX_HOSTS = 20
   private val FIX_DOCS = 300

@@ -69,6 +69,31 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
             n_fail += 1
             continue
+        # type-CLASS check: the driver's gate hashes typed values, and a
+        # representation-changing divergence — DuckDB HUGEINT (serialized
+        # like a decimal) vs Spark BIGINT — fails there even when
+        # stringified values match (round-1 q07/q12 lesson). Plain integer
+        # widths (INT vs BIGINT) are equivalent in the driver gate, so only
+        # class-level differences are flagged.
+        def tclass(t):
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t  # HUGEINT, DECIMAL(...), VARCHAR, ... stay distinct
+        dtypes = dict(zip(
+            con.sql(f"SELECT {', '.join(dcols)} FROM duck").columns,
+            [tclass(t) for t in con.sql(f"SELECT {', '.join(dcols)} FROM duck").types]))
+        stypes = dict(zip(
+            con.sql(f"SELECT {', '.join(scols)} FROM spark_rel").columns,
+            [tclass(t) for t in con.sql(f"SELECT {', '.join(scols)} FROM spark_rel").types]))
+        mismatched = {c: (stypes[c], dtypes[c]) for c in scols
+                      if stypes[c] != dtypes[c]}
+        if mismatched:
+            print(f"FAIL {name}: column type classes differ (spark, duck): {mismatched}")
+            n_fail += 1
+            continue
         sn = [[norm(v) for v in r] for r in srows]
         dn = [[norm(v) for v in r] for r in drows]
         if sn == dn:
