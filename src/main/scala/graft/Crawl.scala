@@ -9,10 +9,14 @@ import graft.gen.SimWeb
   * rule. Runs (or resumes) an epoch loop over the simulated web and prints
   * one JSON line with per-epoch counters and URLs-fetched+deduped/sec.
   *
-  * Usage: runMain graft.Crawl <storeDir> <seeds> <nHosts> <epochs> [budgetMs]
+  * Usage: runMain graft.Crawl <storeDir> <seeds> <nHosts> <epochs>
+  *   [budgetMs] [compactEvery]
   * Parallelism/partitions come from SPARK_GRAFT_CPUS (default 32) so the
   * same job can be run at two cluster sizes for the scaling-efficiency
-  * evidence (BASELINE.md protocol).
+  * evidence (BASELINE.md protocol). Seen-table log compaction runs every
+  * `compactEvery` epochs (default 4, 0 = off) — a long crawl otherwise
+  * accumulates one partition directory per epoch and the anti-join scan
+  * pays per-file open costs forever.
   */
 object Crawl {
   def main(args: Array[String]): Unit = {
@@ -21,6 +25,7 @@ object Crawl {
     val nHosts = args.lift(2).map(_.toInt).getOrElse(50)
     val epochs = args.lift(3).map(_.toInt).getOrElse(3)
     val budgetMs = args.lift(4).map(_.toLong).getOrElse(60000L)
+    val compactEvery = args.lift(5).map(_.toInt).getOrElse(4)
     val seed = 42L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -51,7 +56,7 @@ object Crawl {
 
     val store = new SnapshotStore(storeDir, spark)
     val driver = new EpochDriver(spark, store, seed, nHosts,
-      epochBudgetMs = budgetMs)
+      epochBudgetMs = budgetMs, compactSeenEvery = compactEvery)
     if (store.latest().isEmpty)
       driver.init(SimWeb.seedUrls(nSeeds, nHosts, seed))
 

@@ -193,22 +193,40 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
 
   /** Log-compaction of the seen table: fold every epoch partition in
     * [0, upTo] into a single distinct epoch=0 partition, then drop the
-    * folded partitions. Crash-safe without coordination because `seen` is a
-    * SET under anti-join semantics: a crash after the fold but before the
-    * drops leaves duplicate rows across partitions, which changes no query
-    * result and is cleaned by the next compaction. (DROP PARTITION on an
-    * external table removes catalog entries, not files — orphaned data
-    * files are invisible to readers and reclaimable by a path GC.)
+    * folded partitions AND physically delete their directories. The
+    * physical delete is required for the compaction to survive a restart:
+    * DROP PARTITION on an external table removes only catalog entries, and
+    * ensureSeenTable's MSCK REPAIR in the next JVM re-discovers any
+    * epoch=e directory still inside LOCATION — silently resurrecting the
+    * folded partitions (duplicate rows for seenSet()/count consumers and
+    * the scan-cost win lost). Once dropped+folded the files are referenced
+    * by nothing, so the delete is safe.
+    *
+    * Crash-safe without coordination because `seen` is a SET under
+    * anti-join semantics: a crash after the fold but before (or midway
+    * through) the drop/delete loop leaves duplicate rows across
+    * partitions, which changes no anti-join result and is cleaned by the
+    * next compaction pass.
     */
   def compactSeen(upTo: Long): Unit = {
     ensureSeenTable()
     val staged = new HPath(root, s"data/seen_compact_v$upTo").toString
     readSeen(upTo).distinct().write.mode("overwrite").parquet(staged)
     appendSeen(spark.read.parquet(staged), 0L)
-    (1L to upTo).foreach(e =>
-      spark.sql(s"ALTER TABLE $seenTable DROP IF EXISTS PARTITION (epoch=$e)"))
+    (1L to upTo).foreach { e =>
+      spark.sql(s"ALTER TABLE $seenTable DROP IF EXISTS PARTITION (epoch=$e)")
+      fc.delete(new HPath(new HPath(seenLocation), s"epoch=$e"), true)
+    }
     fc.delete(new HPath(staged), true)
     ()
+  }
+
+  /** Count of live epoch partition directories (test/ops visibility for
+    * compaction effectiveness).
+    */
+  def seenPartitionCount(): Int = {
+    ensureSeenTable()
+    spark.sql(s"SHOW PARTITIONS $seenTable").count().toInt
   }
 
   /** Durable write-then-rename: content is flushed AND synced to stable

@@ -31,7 +31,14 @@ final class EpochDriver(
     // fold seen epoch partitions every N epochs (0 = off); purely a
     // file-count/scan-cost optimization — set semantics are unchanged, so
     // it is NOT part of the resume-guarded config
-    compactSeenEvery: Int = 0) {
+    compactSeenEvery: Int = 0,
+    // K1/K2 external sink (file-backed stand-in for the reference's Kafka
+    // REST bridge): per-epoch fresh records batch-emitted from the
+    // executors, plus one job-control completion message per epoch.
+    // Side-effecting and at-least-once across crash/retry (batch files are
+    // idempotent per partition) — the exact-once state stays in the
+    // snapshot store, exactly like the reference's DB-vs-Kafka split
+    sinkDir: Option[String] = None) {
 
   import spark.implicits._
 
@@ -121,13 +128,17 @@ final class EpochDriver(
       .cache()
     val nDiscovered = candDepth.count()
 
-    // ---- dedup vs seen: Bloom prefilter (D3) + exact anti-join (J2)
-    val bloomSegs =
+    // ---- dedup vs seen: Bloom prefilter (D3) + exact anti-join (J2).
+    // Segment merge runs on the executors (one final blob per segment
+    // reaches the driver); the broadcast handle is destroyed at the end of
+    // the epoch so filter blobs never accumulate across epochs
+    val bloomBc =
       if (useBloom)
         store.readTable(m, "seen_bloom").map(df =>
-          Bloom.collectSegments(df, bloomSegments, bloomBitsPerSegment))
+          Seen.broadcastSegments(spark,
+            Bloom.mergedSegments(df, bloomSegments, bloomBitsPerSegment)))
       else None
-    val fresh = Seen.filterUnseen(candDepth, "canon_url", seen, bloomSegs)
+    val fresh = Seen.filterUnseen(candDepth, "canon_url", seen, bloomBc)
       .withColumn("score", lit(1.0) / (lit(1.0) + col("depth")))
       .withColumn("state", lit("pending"))
       .withColumn("retry_count", lit(0))
@@ -177,6 +188,28 @@ final class EpochDriver(
       nDiscovered - nEmitted, nEmitted))
       .toDF("epoch", "fetched", "errors", "discovered", "deduped", "emitted")
 
+    // ---- K1 record sink + K2 job-control message (kafka_producer.py
+    // send_crawling_completion semantics: count==0 ⇒ fail with reason, no
+    // wall clock — completed_at is virtual epoch time in KST)
+    sinkDir.foreach { d =>
+      graft.sinks.RecordSink.emit(
+        fresh.withColumn("epoch", lit(epoch)), "canon_url",
+        s"$d/frontier-records", tag = s"e$epoch")
+      val completedAt = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+        .plusMinutes(epoch).atOffset(java.time.ZoneOffset.ofHours(9))
+        .format(java.time.format.DateTimeFormatter.ofPattern(
+          "yyyy-MM-dd'T'HH:mm:ssxxx"))
+      val control = Seq((s"epoch_$epoch",
+        if (nEmitted > 0) "done" else "fail",
+        "collection",
+        if (nEmitted > 0) null else "review count 0",
+        nEmitted, completedAt))
+        .toDF("job_id", "status", "step", "failure_reason",
+          "expected_count", "completed_at")
+      graft.sinks.RecordSink.emit(control, "job_id", s"$d/job-control",
+        tag = s"e$epoch")
+    }
+
     // seen + its Bloom segments are append-only: each epoch contributes only
     // its fresh URLs; seen goes to the bucketed table (epoch-partitioned,
     // idempotent overwrite — see SnapshotStore), Bloom readers OR-merge
@@ -195,6 +228,7 @@ final class EpochDriver(
     if (compactSeenEvery > 0 && epoch % compactSeenEvery == 0)
       store.compactSeen(epoch)
     fetched.unpersist(); candDepth.unpersist(); fresh.unpersist()
+    bloomBc.foreach(_.destroy())
     counters
   }
 

@@ -1,0 +1,129 @@
+package graft.functions
+
+/** Corpus-size parameterization for the near-dup blocking keys (round-2
+  * verdict item 1: fixed-width band keys go occupancy-quadratic at web
+  * scale; the band geometry must be a function of expected corpus size).
+  *
+  * == SimHash blocks (generalized Manku construction) ==
+  *
+  * Detecting all pairs within hamming distance ≤ HD over 64-bit simhashes:
+  * split the hash into B near-equal contiguous blocks and build one
+  * candidate table per (B−HD)-subset of blocks, keyed on the concatenation
+  * of that subset's block values. A pair differing in ≤ HD bits touches at
+  * most HD blocks, leaving ≥ B−HD blocks bit-identical — so the pair
+  * agrees on the FULL key of at least one table (any (B−HD)-subset of its
+  * unchanged blocks). Candidate generation over table-key equality is
+  * therefore EXACT (100% recall, no all-pairs scan) for every B ≥ HD+1.
+  *
+  * The corpus-size knob is B itself:
+  *
+  *   - key width   ≈ 64·(B−HD)/B bits  (B=4 → 16, B=5 → 25, B=6 → 32,
+  *     B=8 → 40)
+  *   - tables      = C(B, HD)          (B=4 → 4,  B=5 → 10, B=6 → 20,
+  *     B=8 → 56)
+  *   - bucket occupancy ≈ N / 2^keyWidth per table, so the in-bucket
+  *     self-join cost Σ n_b² stays ~linear while 2^keyWidth ≳ N.
+  *
+  * `blocksFor` picks the smallest B whose key space covers the expected
+  * corpus with margin; q44 runs the B=4 instance (the smallest, correct to
+  * ~10^8 distinct hashes), and BandingSpec pins exactness plus a
+  * candidate-pair budget for the derived-B path on a clustered 10^5-hash
+  * corpus. Reference behavior being scaled: the reference crawler dedups
+  * with an exact in-memory set (src/api/crawling_info_list.py:94) — no
+  * near-dup capability at all — so this construction is the from-scratch
+  * scale path, after Manku et al., "Detecting Near-Duplicates for Web
+  * Crawling" (WWW'07).
+  *
+  * == Hyperplane LSH planes ==
+  *
+  * For the cosine-LSH bucketing (q37), bucket count is 2^planes; occupancy
+  * N/2^planes. `nPlanesFor` derives the plane count that holds a target
+  * mean bucket size — the same knob, applied to the vector corpus.
+  */
+object Banding {
+
+  /** Exactness target: all pairs within this hamming distance are found. */
+  val HD = 3
+
+  val HASH_BITS = 64
+
+  /** Near-equal contiguous block boundaries as (startBit, width); the low
+    * `HASH_BITS % blocks` blocks take the extra bit.
+    */
+  def blockBounds(blocks: Int): Seq[(Int, Int)] = {
+    require(blocks > HD && blocks <= HASH_BITS, s"need HD+1..$HASH_BITS blocks")
+    val base = HASH_BITS / blocks
+    val extra = HASH_BITS % blocks
+    val widths = Seq.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Width in bits of a table key = the B−HD NARROWEST blocks (the
+    * conservative bound: every actual key is at least this wide).
+    */
+  def keyWidthBits(blocks: Int): Int =
+    blockBounds(blocks).map(_._2).sorted.take(blocks - HD).sum
+
+  /** Smallest block count whose key space covers `expectedDocs` distinct
+    * hashes at ≤ `targetBucket` mean occupancy with 8x margin. Monotone in
+    * expectedDocs: ~10^8 → 4, ~10^9 → 5-6, ~10^12 → 8+.
+    */
+  def blocksFor(expectedDocs: Long, targetBucket: Int = 64): Int = {
+    val neededKeys = math.max(1.0, expectedDocs.toDouble / targetBucket * 8.0)
+    val neededBits = math.ceil(math.log(neededKeys) / math.log(2.0)).toInt
+    (HD + 1 to 16).find(b => keyWidthBits(b) >= neededBits).getOrElse(16)
+  }
+
+  /** All (tableId, key) probes for one simhash under B blocks: one table
+    * per (B−HD)-subset of blocks, key = that subset's block values packed
+    * in block order. Key width ≤ 52 bits for B ≤ 16, so a Long always
+    * holds it. Deterministic table order (lexicographic subsets) so the
+    * same tableId means the same subset on every row.
+    */
+  def tableKeys(simhash: Long, blocks: Int): Seq[(Int, Long)] = {
+    val bounds = blockBounds(blocks)
+    blockSubsets(blocks).zipWithIndex.map { case (subset, tid) =>
+      var key = 0L
+      subset.foreach { bi =>
+        val (start, width) = bounds(bi)
+        val v = (simhash >>> start) & ((1L << width) - 1)
+        key = (key << width) | v
+      }
+      (tid, key)
+    }
+  }
+
+  /** Lexicographic (B−HD)-subsets of block indices — the table layout. */
+  def blockSubsets(blocks: Int): Seq[Seq[Int]] =
+    (0 until blocks).combinations(blocks - HD).map(_.toSeq).toSeq
+
+  /** Exact check: two hashes within HD must share ≥ 1 (tableId, key). */
+  def shareTable(a: Long, b: Long, blocks: Int): Boolean = {
+    val ka = tableKeys(a, blocks)
+    val kb = tableKeys(b, blocks)
+    ka.zip(kb).exists { case (x, y) => x == y }
+  }
+
+  /** Hyperplane count holding ~`targetBucket` mean occupancy over
+    * `expectedVecs` vectors: ceil(log2(N / target)), min 1.
+    */
+  def nPlanesFor(expectedVecs: Long, targetBucket: Int = 32): Int = {
+    val buckets = math.max(2.0, expectedVecs.toDouble / targetBucket)
+    math.max(1, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
+  }
+
+  /** Deterministic ±1 hyperplane component, seeded by (plane, dim) — the
+    * shared source for q37's literals and the occupancy spec.
+    */
+  def planeSign(p: Int, d: Int, seed: Long = 7L): Double =
+    if ((graft.gen.SimWeb.mix(seed, s"plane:$p:$d") & 1L) == 0L) -1.0 else 1.0
+
+  /** IVF coarse-quantizer cell count ≈ √N (the standard IVF sizing: probe
+    * cost N/cells balances cell-directory cost cells at √N), expressed as
+    * hyperplane count: round(log2 √N), so cells = 2^planes ≈ √N.
+    */
+  def ivfPlanesFor(expectedVecs: Long): Int =
+    math.max(1, math.round(
+      math.log(math.sqrt(math.max(4.0, expectedVecs.toDouble)))
+        / math.log(2.0)).toInt)
+}

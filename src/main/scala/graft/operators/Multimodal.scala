@@ -9,13 +9,63 @@ import org.apache.spark.sql.functions._
   * of a Pandas-UDF-over-mapInPandas pipeline: partition-local model init,
   * row batches in, feature rows out).
   *
-  * The actual codec call is STUBBED (this container ships no image/audio
+  * The metadata path is REAL: `parseImageHeader` reads width/height out of
+  * actual JPEG (SOF frame header) and PNG (IHDR chunk) container bytes with
+  * no codec library — pure header arithmetic. Only the pixel-decode /
+  * feature-embedding step is STUBBED (this container ships no image/audio
   * libraries): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — schema, batch shape, partition-local
-  * "model" lifecycle, the typed output contract — is real and tested
+  * bytes. Everything else — schema, batch shape, partition-local "model"
+  * lifecycle, the typed output contract — is real and tested
   * (MultimodalSpec).
   */
 object Multimodal {
+
+  /** Pure-JVM image dimension parse: (format, width, height) from real
+    * container headers, None when the payload is not a recognized image
+    * (→ caller falls back to the stub's synthetic metadata).
+    *
+    * JPEG: walk the marker stream from SOI (FFD8); every frame header
+    * SOFn (0xC0-0xCF minus DHT/JPG/DAC = C4/C8/CC) carries
+    * [len:2][precision:1][height:2][width:2]; standalone markers
+    * (TEM/RSTn/SOI/EOI) have no length field; scan stops at SOS (the
+    * entropy-coded stream — dimensions always precede it).
+    *
+    * PNG: 8-byte signature then the IHDR chunk, whose width/height are
+    * big-endian u32 at fixed offsets 16/20.
+    */
+  def parseImageHeader(payload: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (payload.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i))
+        && payload.length >= 16 && new String(payload, 12, 4, "US-ASCII") == "IHDR") {
+      Some(("png", u32(16).toInt, u32(20).toInt))
+    } else if (payload.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < payload.length) {
+        if (u8(i) != 0xff) return None // desynced marker stream
+        val marker = u8(i + 1)
+        if (marker == 0xff) { i += 1 } // fill bytes before a marker
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+          i += 2 // standalone: TEM, RSTn, SOI, EOI — no length field
+        } else if (marker >= 0xc0 && marker <= 0xcf
+            && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn: len, precision, height, width
+          if (i + 8 >= payload.length) return None
+          return Some(("jpeg", u16(i + 7), u16(i + 5)))
+        } else if (marker == 0xda) {
+          return None // SOS before any SOF: malformed
+        } else {
+          if (i + 3 >= payload.length) return None
+          i += 2 + u16(i + 2) // length includes its own 2 bytes
+        }
+      }
+      None
+    } else None
+  }
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
@@ -28,9 +78,11 @@ object Multimodal {
       n_frames: Int,
       embedding: Array[Float])
 
-  /** STUB for the real decoder (e.g. JPEG decode + resize + CNN features).
-    * Deterministic in the payload bytes; replace with a real codec where
-    * the libraries exist. Marked intentionally — do not "fix".
+  /** STUB for the pixel decoder + feature embedder (e.g. JPEG entropy
+    * decode + resize + CNN features) — the only remaining stub: real
+    * container METADATA comes from parseImageHeader above. Deterministic
+    * in the payload bytes; replace with a real codec where the libraries
+    * exist. Marked intentionally — do not "fix".
     */
   def decodeStub(payload: Array[Byte], kind: String): (Int, Int, Int, Array[Float]) = {
     var h = 0xcafef00dL
@@ -64,7 +116,12 @@ object Multimodal {
       val decoderReady = true
       require(decoderReady)
       rows.map { r =>
-        val (w, h, f, emb) = decodeStub(r.payload, r.kind)
+        val (sw, sh, f, emb) = decodeStub(r.payload, r.kind)
+        // real container headers win; the stub only covers payloads that
+        // aren't actual image bytes (this sandbox's synthetic corpora)
+        val (w, h) = parseImageHeader(r.payload)
+          .map { case (_, pw, ph) => (pw, ph) }
+          .getOrElse((sw, sh))
         MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, f, emb)
       }
     }

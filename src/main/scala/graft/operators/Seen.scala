@@ -68,6 +68,18 @@ object Bloom {
     }
   }
 
+  /** OR two serialized same-geometry filters without deserializing: the
+    * 4-byte k headers are identical (so OR-ing them is the identity) and
+    * the rest is the raw bit array. This is the executor-side merge kernel.
+    */
+  def orBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length, "incompatible Bloom segment blobs")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
+  }
+
   object Filter {
     def empty(mBits: Int, k: Int): Filter =
       Filter(new Array[Long]((mBits + 63) / 64), k)
@@ -116,15 +128,36 @@ object Bloom {
       .toDF("segment_id", "bloom")
   }
 
-  /** Driver-side merge of segment rows into an in-memory array for
-    * broadcast; index = segment_id.
+  /** Merge the seen_bloom table's per-(epoch, segment) rows into one filter
+    * per segment, OR-reducing ON THE EXECUTORS: the table holds one row per
+    * segment per epoch append, so a crawl E epochs deep has E×segments
+    * blobs — a driver-side collect of all of them (the round-2 shape) is
+    * O(E × total-filter-bytes) driver memory and single-threaded XOR work.
+    * reduceGroups runs map-side partial merges, so the driver receives
+    * exactly `segments` final blobs — the same bytes a fresh build would
+    * produce — independent of epoch count.
+    *
+    * Memory geometry at the north rule's 10^10-URL scale (also in
+    * BASELINE.md): 10 bits/URL ≈ 12.5 GB of filter across, say, 1024
+    * segments (~12 MB each). Driver transient footprint is the final 12.5
+    * GB ONCE (vs E× that before); the subsequent torrent broadcast ships
+    * each executor one copy. Past ~executor-memory/3 the next step is
+    * segment-routed probing (co-partition candidates by segment_id and open
+    * only the local segment per partition) — same table layout, no merged
+    * broadcast at all.
     */
-  def collectSegments(segDf: DataFrame, segments: Int, mBits: Int, k: Int = 5): Array[Filter] = {
+  def mergedSegments(segDf: DataFrame, segments: Int, mBits: Int, k: Int = 5): Array[Filter] = {
+    val spark = segDf.sparkSession
+    import spark.implicits._
+    val merged = segDf
+      .select(col("segment_id"), col("bloom"))
+      .as[(Long, Array[Byte])]
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, orBlobs(a._2, b._2)))
+      .map { case (id, (_, blob)) => (id, blob) }
+      .collect()
     val out = Array.fill(segments)(Filter.empty(mBits, k))
-    segDf.collect().foreach { r =>
-      val id = r.getLong(0).toInt
-      out(id) = out(id).orInPlace(Filter.deserialize(r.getAs[Array[Byte]](1)))
-    }
+    merged.foreach { case (id, blob) => out(id.toInt) = Filter.deserialize(blob) }
     out
   }
 }
@@ -146,6 +179,19 @@ final class SegmentedBloom(val segments: Array[Bloom.Filter]) extends Serializab
 
 object Seen {
 
+  /** Ship the merged segments as ONE sparkContext.broadcast per epoch — not
+    * a closure/plan capture, which would reserialize the (multi-MB at
+    * 10^10-URL scale) filter array with every task. The caller OWNS the
+    * returned handle and must `destroy()` it once the epoch's actions have
+    * completed: filterUnseen used to create a fresh broadcast per call and
+    * never release it, so a long many-epoch crawl accumulated every past
+    * epoch's filter blob in the block managers until the ContextCleaner
+    * happened to GC the plan references.
+    */
+  def broadcastSegments(spark: org.apache.spark.sql.SparkSession,
+      segs: Array[Bloom.Filter]): org.apache.spark.broadcast.Broadcast[SegmentedBloom] =
+    spark.sparkContext.broadcast(new SegmentedBloom(segs))
+
   /** J2 + D3: drop candidates already in the seen set. The Bloom segments
     * (broadcast) prune the probe side first — a "definitely not seen" row
     * skips nothing, a "might be seen" row goes to the exact anti-join.
@@ -153,13 +199,12 @@ object Seen {
     * tested in BloomSpec); it only shrinks the join input.
     */
   def filterUnseen(candidates: DataFrame, urlCol: String, seen: DataFrame,
-      bloom: Option[Array[Bloom.Filter]]): DataFrame = {
-    val spark = candidates.sparkSession
+      bloom: Option[org.apache.spark.broadcast.Broadcast[SegmentedBloom]]): DataFrame =
     bloom match {
       case None =>
         candidates.join(seen.withColumnRenamed("canon_url", urlCol).select(urlCol),
           Seq(urlCol), "left_anti")
-      case Some(segs) =>
+      case Some(bc) =>
         // native codegen'd Expression, not a UDF (graft.plans
         // .BloomMightContain), and a SINGLE pass over the candidates: a
         // filter/union formulation would evaluate the whole upstream
@@ -167,12 +212,6 @@ object Seen {
         // includes the probe-side Bloom verdict: "definitely new" rows
         // never match (kept), "maybe seen" rows match exactly when the
         // exact set contains them (dropped by the null filter).
-        //
-        // The segments ship as a sparkContext.broadcast — ONE transfer per
-        // executor per epoch — not as a closure/plan capture, which would
-        // reserialize the (multi-MB at 10^10-URL scale) filter array with
-        // every task.
-        val bc = spark.sparkContext.broadcast(new SegmentedBloom(segs))
         val maybe = graft.plans.BloomMightContain(col(urlCol), bc)
         val marker = seen.select(col("canon_url").as("_seen_url"),
           lit(true).as("_in_seen"))
@@ -181,5 +220,4 @@ object Seen {
           .filter(col("_in_seen").isNull)
           .drop("_seen_url", "_in_seen")
     }
-  }
 }

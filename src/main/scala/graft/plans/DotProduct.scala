@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd dot product over two ARRAY<DOUBLE> columns.
   *
@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * formulation and DuckDB's `list_dot_product` oracle expression.
   * Mismatched lengths fold over the shorter prefix (the queries only ever
   * compare same-dimension embeddings); null arrays yield null.
+  *
+  * Null ELEMENTS match the HOF formulation this expression replaced: any
+  * null element in the folded prefix nulls the whole dot product (zip_with
+  * multiplies null → null, aggregate's sum propagates it). The per-element
+  * null check is emitted ONLY when a child's ArrayType reports
+  * containsNull — a containsNull=false schema keeps the tight two-load
+  * loop, so the check costs nothing where the schema already proves it
+  * redundant.
   */
 final case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,13 +35,30 @@ final case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
+  // null elements can null the result even when both array columns are
+  // non-null — fold element nullability into the expression's own
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    if (elemNullable) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getDouble(i) * b.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    }
     acc
   }
 
@@ -42,10 +67,15 @@ final case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("dpN")
       val i = ctx.freshName("dpI")
       val acc = ctx.freshName("dpAcc")
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -174,6 +174,40 @@ object QueriesFidelity {
         |  strftime(ts + INTERVAL 9 HOUR, '%Y%m%d_%H%M%S') AS kst_job_suffix
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin))
 
+  // ---------------------------------------------------------------- q45 K2
+
+  /** K2 error path — send_crawling_error's message shape
+    * (/root/reference/src/api/kafka_producer.py:83-102), distinct from the
+    * count==0 fail that q40 covers: status is ALWAYS 'fail', failure_reason
+    * is OPTIONAL (absent → null when no error message was supplied), and
+    * there is NO expected_count field at all. One synthetic error job per
+    * event_type (each "crashed" during collection); whether an error
+    * message accompanied the crash is deterministic in the job name, and
+    * completed_at is the job's last virtual event time in KST (X10).
+    */
+  private val q45 = Q("q45_k2_error_path",
+    (s, dir) => tbl(s, dir, "events")
+      .groupBy("event_type")
+      .agg(max("ts").as("last_ts"))
+      .select(
+        concat(lit("job_"), col("event_type")).as("job_id"),
+        lit("fail").as("status"),
+        lit("collection").as("step"),
+        when(length(col("event_type")) % 2 === 0,
+          concat(lit("TimeoutException in "), col("event_type")))
+          .otherwise(lit(null).cast("string")).as("failure_reason"),
+        concat(date_format(col("last_ts") + expr("INTERVAL 9 HOURS"),
+          "yyyy-MM-dd'T'HH:mm:ss"), lit("+09:00")).as("completed_at"))
+      .orderBy("job_id"),
+    Some(
+      """SELECT 'job_'||event_type AS job_id,
+        |  'fail' AS status,
+        |  'collection' AS step,
+        |  CASE WHEN length(event_type) % 2 = 0
+        |    THEN 'TimeoutException in '||event_type END AS failure_reason,
+        |  strftime(max(ts) + INTERVAL 9 HOUR, '%Y-%m-%dT%H:%M:%S')||'+09:00' AS completed_at
+        |FROM events GROUP BY event_type ORDER BY job_id""".stripMargin))
+
   // ------------------------------------------------- q42/q43 spans fixture
 
   /** Deterministic interleaved-span fixture in the exact BASELINE.json
@@ -190,13 +224,32 @@ object QueriesFidelity {
   private val FIX_HOSTS = 20
   private val FIX_DOCS = 300
 
-  private def ensureSpansFixture(s: SparkSession): Unit = {
-    import s.implicits._
-    val urls = SimWeb.seedUrls(FIX_DOCS, FIX_HOSTS, FIX_SEED).distinct
-    val docs = urls.map(u => SimWeb.docFor(u, FIX_SEED, FIX_HOSTS))
-    s.createDataset(docs).coalesce(1)
-      .write.mode("overwrite").parquet(spansFixturePath)
-  }
+  /** Write-once: the fixture is deterministic in (seed, hosts, docs), so a
+    * present marker stamped with those parameters means the parquet on disk
+    * is already byte-equivalent to what a rewrite would produce. Skipping
+    * the rewrite keeps this a pure read query (no hidden parquet write in
+    * the bench timing) and removes the overwrite race between concurrent
+    * sessions (Verify vs a test JVM both touching the shared path). The
+    * marker is written AFTER the parquet commit, so a half-written fixture
+    * from a crashed writer is rewritten, not trusted.
+    */
+  private val fixtureStamp = s"seed=$FIX_SEED hosts=$FIX_HOSTS docs=$FIX_DOCS v2"
+  @volatile private var fixtureChecked = false
+
+  private def ensureSpansFixture(s: SparkSession): Unit =
+    if (!fixtureChecked) synchronized {
+      val marker = new java.io.File(spansFixturePath, "_GRAFT_STAMP")
+      if (!(marker.isFile &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fixtureStamp)) {
+        import s.implicits._
+        val urls = SimWeb.seedUrls(FIX_DOCS, FIX_HOSTS, FIX_SEED).distinct
+        val docs = urls.map(u => SimWeb.docFor(u, FIX_SEED, FIX_HOSTS))
+        s.createDataset(docs).coalesce(1)
+          .write.mode("overwrite").parquet(spansFixturePath)
+        java.nio.file.Files.write(marker.toPath, fixtureStamp.getBytes)
+      }
+      fixtureChecked = true
+    }
 
   private def spansDf(s: SparkSession): DataFrame = {
     ensureSpansFixture(s)
@@ -293,5 +346,5 @@ object QueriesFidelity {
          |  count(*) AS n_spans, max(off) AS max_offset
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q38, q39, q40, q41, q42, q43)
+  val qs: Seq[Q] = Seq(q38, q39, q40, q41, q42, q43, q45)
 }

@@ -56,11 +56,31 @@ class BloomSpec extends SparkSpecBase {
     import spark.implicits._
     val urls = (0 until 1000).map(i => s"https://h${i % 7}.com/p/$i")
     val segDf = Bloom.buildSegments(urls.toDF("canon_url"), "canon_url", 4, m, k)
-    val segs = Bloom.collectSegments(segDf, 4, m, k)
+    val segs = Bloom.mergedSegments(segDf, 4, m, k)
     // every inserted url must be found in its segment
     urls.foreach { u =>
       val id = (graft.functions.CanonJvm.md5Long(u) % 4).toInt
       assert(segs(id).mightContain(u))
+    }
+  }
+
+  test("executor-side multi-epoch merge equals one-shot build (orBlobs kernel)") {
+    import spark.implicits._
+    // three epoch appends → 3 rows per segment in the table; the merged
+    // result must be bit-identical to building once over the union
+    val epochs = Seq(
+      (0 until 400).map(i => s"https://e0h${i % 5}.com/p/$i"),
+      (0 until 400).map(i => s"https://e1h${i % 5}.com/p/$i"),
+      (0 until 400).map(i => s"https://e2h${i % 5}.com/p/$i"))
+    val segDf = epochs.map(us =>
+      Bloom.buildSegments(us.toDF("canon_url"), "canon_url", 4, m, k))
+      .reduce(_ unionAll _)
+    val merged = Bloom.mergedSegments(segDf, 4, m, k)
+    val oneShot = Bloom.mergedSegments(
+      Bloom.buildSegments(epochs.flatten.toDF("canon_url"), "canon_url", 4, m, k),
+      4, m, k)
+    merged.zip(oneShot).foreach { case (a, b) =>
+      assert(a.k == b.k && a.bits.sameElements(b.bits))
     }
   }
 

@@ -48,10 +48,12 @@ class CodegenSpec extends SparkSpecBase {
         .toDF("canon_url")
       val cand = (250 until 750).map(i => s"https://h${i % 7}.com/p/$i")
         .toDF("canon_url")
-      val segs = Bloom.collectSegments(
+      val segs = Bloom.mergedSegments(
         Bloom.buildSegments(seen, "canon_url", 4, 1 << 12), 4, 1 << 12)
-      val fresh = Seen.filterUnseen(cand, "canon_url", seen, Some(segs))
+      val bc = Seen.broadcastSegments(spark, segs)
+      val fresh = Seen.filterUnseen(cand, "canon_url", seen, Some(bc))
       assert(fresh.count() === 250)
+      bc.destroy()
     }
   }
 }

@@ -39,6 +39,25 @@ class DotProductSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     assert(got(3) === Some(0.0))
   }
 
+  test("null ELEMENT nulls the dot product, matching the HOF fold (eval + codegen)") {
+    // zip_with multiplies a null element to null and aggregate's sum
+    // propagates it — the native expression must agree, in both the
+    // interpreted eval and the containsNull codegen path
+    val df = Seq(
+      (1, Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 1.0, 1.0)),
+      (2, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](null, 1.0)),
+      (3, Array[java.lang.Double](2.0, 3.0), Array[java.lang.Double](4.0, 5.0)))
+      .toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val native = graft.plans.DotProduct(col("a"), col("b"))
+    val got = df.select(col("id"), native.as("d"), hof.as("h"))
+      .collect().map(r => r.getInt(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(1) === ((None, None)))
+    assert(got(2) === ((None, None)))
+    assert(got(3) === ((Some(23.0), Some(23.0))))
+  }
+
   test("compiles and runs under strict codegen") {
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")

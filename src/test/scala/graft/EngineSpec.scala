@@ -121,6 +121,76 @@ class EngineSpec extends SparkSpecBase {
     assert(e.getMessage.contains("resume config mismatch"))
   }
 
+  test("seen compaction: fewer partitions, identical set, and it SURVIVES a restart") {
+    val dirC = tmpDir()
+    val c = new EpochDriver(spark, new SnapshotStore(dirC, spark), seed, nHosts,
+      epochBudgetMs = budget, compactSeenEvery = 2)
+    c.init(seeds)
+    (1 to epochs).foreach(_ => c.runEpoch()) // compaction fires after epoch 2
+
+    // identical seen set vs the uncompacted reference run
+    val dirU = tmpDir()
+    val u = newDriver(dirU)
+    u.init(seeds)
+    (1 to epochs).foreach(_ => u.runEpoch())
+    val setC = c.seenSet().collect().map(_.getString(0)).toSet
+    val setU = u.seenSet().collect().map(_.getString(0)).toSet
+    assert(setC == setU)
+
+    // partitions folded: epochs {0..3} → {0 (folded), 3}
+    val storeC = new SnapshotStore(dirC, spark)
+    assert(storeC.seenPartitionCount() <= 2,
+      "compaction left folded epoch partitions behind")
+
+    // restart: drop the catalog entry (the in-memory-catalog analog of a
+    // new JVM) so a fresh store re-registers the table and MSCK-recovers
+    // partitions from the LOCATION — before the physical delete fix, the
+    // folded epoch dirs were re-discovered here and every seen row came
+    // back duplicated
+    val tbl = "graft_seen_" + Integer.toHexString(
+      new java.io.File(dirC).getAbsolutePath.hashCode & 0x7fffffff)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val c2 = new EpochDriver(spark, new SnapshotStore(dirC, spark), seed, nHosts,
+      epochBudgetMs = budget, compactSeenEvery = 2)
+    val seenRows = c2.seenSet().count()
+    val seenDistinct = c2.seenSet().distinct().count()
+    assert(seenRows == seenDistinct,
+      s"restart resurrected folded partitions: $seenRows rows vs $seenDistinct distinct")
+    val m4 = c2.runEpoch() // epoch 4 — also fires compaction again
+    assert(m4("epoch") == 4L)
+  }
+
+  test("K1 sink: emitted batches equal each epoch's fresh rows; K2 control message per epoch") {
+    val dir = tmpDir()
+    val sink = tmpDir()
+    val d = new EpochDriver(spark, new SnapshotStore(dir, spark), seed, nHosts,
+      epochBudgetMs = budget, sinkDir = Some(sink))
+    d.init(seeds)
+    val ms = (1 to 2).map(_ => d.runEpoch())
+
+    val rec = graft.sinks.RecordSink.readTopic(spark, s"$sink/frontier-records")
+    assert(rec.count() == ms.map(_("emitted")).sum,
+      "sink rows != sum of per-epoch emitted counters")
+    // the record keys are exactly the post-init discoveries in the frontier
+    val sunk = rec.select("key").collect().map(_.getString(0)).toSet
+    val discovered = d.frontier().filter(col("discovered_epoch") > 0)
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    assert(sunk == discovered)
+
+    // job-control: one completion message per epoch, reference shape
+    val ctl = graft.sinks.RecordSink.readTopic(spark, s"$sink/job-control")
+      .select(col("key"),
+        get_json_object(col("value"), "$.status").as("status"),
+        get_json_object(col("value"), "$.step").as("step"),
+        get_json_object(col("value"), "$.expected_count").as("n"))
+      .collect()
+    assert(ctl.length == 2)
+    ctl.foreach { r =>
+      assert(r.getString(1) == "done" && r.getString(2) == "collection")
+    }
+    assert(ctl.map(r => r.getString(3).toLong).sum == ms.map(_("emitted")).sum)
+  }
+
   test("uncommitted garbage in the store is ignored on resume") {
     val dir = tmpDir()
     val a = newDriver(dir)

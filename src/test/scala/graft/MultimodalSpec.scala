@@ -30,6 +30,57 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  /** Real container bytes for the header-parse tests: a minimal JPEG
+    * marker stream (SOI, APP0, DQT filler, SOF0, SOS) and a PNG
+    * signature+IHDR — byte-for-byte what a codec would emit for the
+    * metadata prefix.
+    */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def u16(x: Int) = Seq((x >> 8) & 0xff, x & 0xff)
+    (Seq(0xff, 0xd8) ++                           // SOI
+      Seq(0xff, 0xe0, 0x00, 0x10) ++ Seq.fill(14)(0x4a) ++ // APP0 len 16
+      Seq(0xff, 0xdb, 0x00, 0x43) ++ Seq.fill(0x41)(0x11) ++ // DQT len 67
+      (Seq(0xff, 0xc0, 0x00, 0x11, 0x08) ++ u16(h) ++ u16(w) ++
+        Seq.fill(10)(0x22)) ++                    // SOF0 len 17
+      Seq(0xff, 0xda, 0x00, 0x08) ++ Seq.fill(20)(0x99) // SOS + entropy data
+      ).map(_.toByte).toArray
+  }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def u32(x: Int) = Seq((x >> 24) & 0xff, (x >> 16) & 0xff, (x >> 8) & 0xff, x & 0xff)
+    (Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+      u32(13) ++ Seq('I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt) ++
+      u32(w) ++ u32(h) ++ Seq(8, 2, 0, 0, 0) ++ u32(0)
+      ).map(_.toByte).toArray
+  }
+
+  test("JPEG SOF0 and PNG IHDR headers parse to real width/height (no codec library)") {
+    assert(Multimodal.parseImageHeader(jpegBytes(1920, 1080)) ===
+      Some(("jpeg", 1920, 1080)))
+    assert(Multimodal.parseImageHeader(jpegBytes(292, 292)) ===
+      Some(("jpeg", 292, 292)))
+    assert(Multimodal.parseImageHeader(pngBytes(640, 480)) ===
+      Some(("png", 640, 480)))
+    // non-image payloads fall through to the stub path
+    assert(Multimodal.parseImageHeader("just some text".getBytes) === None)
+    assert(Multimodal.parseImageHeader(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+    assert(Multimodal.parseImageHeader(Array.empty[Byte]) === None)
+  }
+
+  test("extractFeatures uses parsed header dims for real image payloads, stub otherwise") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", jpegBytes(800, 600)),
+      Multimodal.MediaRow(2L, "image", pngBytes(1024, 768)),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes)).toDS()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(got(1L) === ((800, 600)))
+    assert(got(2L) === ((1024, 768)))
+    // stub dims are in [64, 1024)
+    assert(got(3L)._1 >= 64 && got(3L)._1 < 1024)
+  }
+
   test("video rows get multi-frame counts, images single") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

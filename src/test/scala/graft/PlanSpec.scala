@@ -52,7 +52,7 @@ class PlanSpec extends SparkSpecBase {
     // AQE's runtime size measurement may pick a broadcast. A forced hint
     // shows up as ResolvedHint in the analyzed plan.
     for (n <- Seq("q24_dedup_minhash_pairs", "q26_dedup_ngram_jaccard",
-        "q29_ann_ivf_label", "q30_dedup_embed_nn", "q37_ann_lsh_hyperplane")) {
+        "q29_ann_ivf_cell", "q30_dedup_embed_nn", "q37_ann_lsh_hyperplane")) {
       val df = SparkEntry.queries(n)(spark, dir)
       val analyzed = df.queryExecution.analyzed.toString
       assert(!analyzed.contains("ResolvedHint"),
