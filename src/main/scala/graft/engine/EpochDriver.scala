@@ -28,6 +28,11 @@ final class EpochDriver(
     bloomSegments: Int = 8,
     bloomBitsPerSegment: Int = 1 << 16,
     useBloom: Boolean = true,
+    // route the Bloom probe by segment (filterUnseenRouted) instead of
+    // broadcasting the merged filter — the ≥10^10.5-URL geometry where no
+    // merged array fits anywhere (BASELINE.md). Pure execution strategy:
+    // results are identical (EngineSpec), so not resume-guarded
+    bloomRouted: Boolean = false,
     // fold seen epoch partitions every N epochs (0 = off); purely a
     // file-count/scan-cost optimization — set semantics are unchanged, so
     // it is NOT part of the resume-guarded config
@@ -132,13 +137,16 @@ final class EpochDriver(
     // Segment merge runs on the executors (one final blob per segment
     // reaches the driver); the broadcast handle is destroyed at the end of
     // the epoch so filter blobs never accumulate across epochs
+    val segTable = if (useBloom) store.readTable(m, "seen_bloom") else None
     val bloomBc =
-      if (useBloom)
-        store.readTable(m, "seen_bloom").map(df =>
-          Seen.broadcastSegments(spark,
-            Bloom.mergedSegments(df, bloomSegments, bloomBitsPerSegment)))
-      else None
-    val fresh = Seen.filterUnseen(candDepth, "canon_url", seen, bloomBc)
+      if (bloomRouted) None
+      else segTable.map(df =>
+        Seen.broadcastSegments(spark,
+          Bloom.mergedSegments(df, bloomSegments, bloomBitsPerSegment)))
+    val fresh = (if (bloomRouted && segTable.isDefined)
+        Seen.filterUnseenRouted(candDepth, "canon_url", seen,
+          segTable.get, bloomSegments)
+      else Seen.filterUnseen(candDepth, "canon_url", seen, bloomBc))
       .withColumn("score", lit(1.0) / (lit(1.0) + col("depth")))
       .withColumn("state", lit("pending"))
       .withColumn("retry_count", lit(0))

@@ -220,4 +220,49 @@ object Seen {
           .filter(col("_in_seen").isNull)
           .drop("_seen_url", "_in_seen")
     }
+
+  /** Segment-ROUTED Bloom probe — the scale path past the broadcast's
+    * ceiling (BASELINE.md geometry: ≳10^10.5 URLs at 10 bits/URL the
+    * merged filter is ≳30-60 GB and must stop shipping to every executor).
+    * No merged array exists ANYWHERE here: candidates are co-grouped with
+    * the per-segment blobs on segment_id (the same md5-prefix hash that
+    * routes the build), so each task deserializes exactly ONE segment and
+    * streams its candidate urls through it. Bloom-positive ("maybe seen")
+    * urls then RESTRICT the seen side of the exact anti-join via
+    * left_semi — the 10^10-row seen table shrinks to ~|maybe| rows before
+    * the anti-join runs, and the bucketed seen scan means that semi join
+    * shuffles only the (small) maybe set.
+    *
+    * Exactness: identical to the broadcast path and to a plain anti-join —
+    * a "definitely new" url cannot be in the seen set (no false
+    * negatives, BloomSpec), so dropping it from the seen restriction
+    * never loses a match; a segment with no blob (never built) treats all
+    * its urls as "maybe", which only costs, never corrupts.
+    */
+  def filterUnseenRouted(candidates: DataFrame, urlCol: String,
+      seen: DataFrame, segDf: DataFrame, segments: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val blobs = segDf.select(col("segment_id"), col("bloom"))
+      .as[(Long, Array[Byte])]
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, Bloom.orBlobs(a._2, b._2)))
+      .map { case (id, (_, blob)) => (id, blob) }
+      .groupByKey(_._1)
+    val urls = candidates.select(col(urlCol)).distinct().as[String]
+      .groupByKey(u =>
+        graft.functions.CanonJvm.md5Long(u) % segments.toLong)
+    val maybe = urls.cogroup(blobs) { (_, us, bs) =>
+      bs.nextOption().map(b => Bloom.Filter.deserialize(b._2)) match {
+        case Some(f) => us.filter(f.mightContain)
+        case None => us
+      }
+    }.toDF(urlCol)
+    val seenMaybe = seen
+      .join(maybe.withColumnRenamed(urlCol, "canon_url"),
+        Seq("canon_url"), "left_semi")
+    candidates.join(
+      seenMaybe.withColumnRenamed("canon_url", urlCol).select(urlCol),
+      Seq(urlCol), "left_anti")
+  }
 }

@@ -375,6 +375,91 @@ object QueriesText {
          |UNION ALL SELECT doc_a, doc_b, hd FROM intra
          |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** q46 — the generalized Manku construction LIVE (B=6): same hd≤3
+    * near-dup output as q44, generated through C(6,3)=20 tables keyed on
+    * 3-of-6 block concatenations (~32-bit keys, ~4·10^9 buckets/table) —
+    * the geometry `Banding.blocksFor` derives for a 10^9-10^10-hash corpus.
+    * Output-identical to q44 by pigeonhole exactness of BOTH constructions
+    * (RecallSpec pins the cross-construction equality), so the wide-key
+    * path is verified end-to-end in both engines, not only in the JVM
+    * spec. More tables, exponentially fewer collisions per table: B is a
+    * pure cost knob, never a recall knob.
+    */
+  private val B6 = 6
+  private val q46 = Q("q46_dedup_simhash_b6",
+    (s, dir) => {
+      import graft.functions.Banding
+      val bounds = Banding.blockBounds(B6)
+      val subsets = Banding.blockSubsets(B6)
+      def blk(bi: Int): Column = {
+        val (st, w) = bounds(bi)
+        shiftright(col("simhash"), st).bitwiseAND(lit((1L << w) - 1))
+      }
+      val keyExprs = subsets.map { sub =>
+        sub.tail.foldLeft(blk(sub.head)) { (acc, bi) =>
+          shiftleft(acc, bounds(bi)._2).bitwiseOR(blk(bi))
+        }
+      }
+      val sim = simhashDf(s, dir)
+      val g = sim.groupBy("simhash").agg(min("doc_id").as("gid"))
+      val md = sim.join(g, Seq("simhash")).select(col("doc_id"), col("gid"))
+      val bands = g.select(col("gid"), col("simhash"),
+        posexplode(array(keyExprs: _*)).as(Seq("band_id", "band_key")))
+      val gp = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.gid") < col("y.gid"))
+        .select(col("x.gid").as("ga"), col("y.gid").as("gb"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            .cast("int").as("hd"))
+        .filter(col("hd") <= HAMMING_MAX)
+        .distinct()
+      val cross = gp
+        .join(md.as("ma"), col("ga") === col("ma.gid"))
+        .select(col("ma.doc_id").as("da"), col("gb"), col("hd"))
+        .join(md.as("mb"), col("gb") === col("mb.gid"))
+        .select(least(col("da"), col("mb.doc_id")).as("doc_a"),
+          greatest(col("da"), col("mb.doc_id")).as("doc_b"), col("hd"))
+      val intra = md.as("u").join(md.as("v"),
+          col("u.gid") === col("v.gid") && col("u.doc_id") < col("v.doc_id"))
+        .select(col("u.doc_id").as("doc_a"), col("v.doc_id").as("doc_b"),
+          lit(0).as("hd"))
+      cross.unionAll(intra).orderBy("doc_a", "doc_b")
+    },
+    Some {
+      import graft.functions.Banding
+      val bounds = Banding.blockBounds(B6)
+      val subsets = Banding.blockSubsets(B6)
+      def blkSql(bi: Int): String = {
+        val (st, w) = bounds(bi)
+        s"((simhash >> $st) & ${(1L << w) - 1})"
+      }
+      val keySqls = subsets.map { sub =>
+        sub.tail.foldLeft(blkSql(sub.head)) { (acc, bi) =>
+          s"(($acc << ${bounds(bi)._2}) | ${blkSql(bi)})"
+        }
+      }
+      s"""WITH $duckSimhashCte,
+         |g AS (SELECT simhash, min(doc_id) AS gid FROM sim GROUP BY simhash),
+         |md AS (SELECT sim.doc_id, g.gid FROM sim JOIN g USING (simhash)),
+         |_k AS (SELECT gid, simhash, [${keySqls.mkString(", ")}] AS bks FROM g),
+         |bands AS (SELECT gid, simhash, i AS band_id, bks[i+1] AS band_key
+         |  FROM _k, (SELECT unnest(range(0, ${subsets.size})) AS i) _i),
+         |gp AS (SELECT DISTINCT x.gid AS ga, y.gid AS gb,
+         |  bit_count(xor(x.simhash, y.simhash))::INT AS hd
+         |  FROM bands x JOIN bands y
+         |  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.gid < y.gid
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $HAMMING_MAX),
+         |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |  greatest(ma.doc_id, mb.doc_id) AS doc_b, hd
+         |  FROM gp JOIN md ma ON gp.ga = ma.gid JOIN md mb ON gp.gb = mb.gid),
+         |intra AS (SELECT u.doc_id AS doc_a, v.doc_id AS doc_b, 0::INT AS hd
+         |  FROM md u JOIN md v ON u.gid = v.gid AND u.doc_id < v.doc_id)
+         |SELECT doc_a, doc_b, hd FROM crossp
+         |UNION ALL SELECT doc_a, doc_b, hd FROM intra
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
   /** Word-set Jaccard near-dup pairs, blocked by MinHash LSH bands over the
     * word sets (8 bands × 4 rows, reusing the q23/q24 band machinery) so the
     * pair space stays linear in corpus size — NO all-pairs comparison at any
@@ -510,5 +595,5 @@ object QueriesText {
          |  1 + ${duckMd5Long("doc_id::VARCHAR||'f'")} % 30 AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q44)
+  val qs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q44, q46)
 }

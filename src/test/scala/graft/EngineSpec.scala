@@ -23,9 +23,10 @@ class EngineSpec extends SparkSpecBase {
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graft-engine").toString
 
-  private def newDriver(dir: String, useBloom: Boolean = true) =
+  private def newDriver(dir: String, useBloom: Boolean = true,
+      bloomRouted: Boolean = false) =
     new EpochDriver(spark, new SnapshotStore(dir, spark), seed, nHosts,
-      epochBudgetMs = budget, useBloom = useBloom)
+      epochBudgetMs = budget, useBloom = useBloom, bloomRouted = bloomRouted)
 
   private def seeds = SimWeb.seedUrls(40, nHosts, seed)
 
@@ -75,14 +76,17 @@ class EngineSpec extends SparkSpecBase {
     }
   }
 
-  test("bloom prefilter does not change results") {
+  test("bloom prefilter does not change results (broadcast, routed, and off)") {
     val d1 = newDriver(tmpDir(), useBloom = true)
     val d2 = newDriver(tmpDir(), useBloom = false)
-    d1.init(seeds); d2.init(seeds)
-    (1 to 2).foreach { _ => d1.runEpoch(); d2.runEpoch() }
+    val d3 = newDriver(tmpDir(), bloomRouted = true)
+    d1.init(seeds); d2.init(seeds); d3.init(seeds)
+    (1 to 2).foreach { _ => d1.runEpoch(); d2.runEpoch(); d3.runEpoch() }
     val s1 = d1.seenSet().collect().map(_.getString(0)).toSet
     val s2 = d2.seenSet().collect().map(_.getString(0)).toSet
+    val s3 = d3.seenSet().collect().map(_.getString(0)).toSet
     assert(s1 == s2)
+    assert(s3 == s2)
   }
 
   test("resume from snapshot equals an uninterrupted run") {

@@ -65,4 +65,13 @@ class RecallSpec extends SparkSpecBase {
     assert(got === want,
       s"lost=${(want -- got).take(5)} invented=${(got -- want).take(5)}")
   }
+
+  test("q46 (B=6 wide-key construction) output-identical to q44 (B=4)") {
+    // two independent pigeonhole constructions over the same hashes must
+    // produce the same hd<=3 pair set — B is a cost knob, never recall
+    val b4 = rows(SparkEntry.queries("q44_dedup_simhash_pairs")(spark, dir))
+    val b6 = rows(SparkEntry.queries("q46_dedup_simhash_b6")(spark, dir))
+    assert(b4 === b6,
+      s"constructions diverge: onlyB4=${(b4 -- b6).take(5)} onlyB6=${(b6 -- b4).take(5)}")
+  }
 }
