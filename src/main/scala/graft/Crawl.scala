@@ -55,8 +55,11 @@ object Crawl {
     }
 
     val store = new SnapshotStore(storeDir, spark)
+    // SPARK_GRAFT_SINK_DIR: emit per-epoch fresh records + job-control
+    // messages through the batched K1/K2 sink (file-backed bridge topics)
     val driver = new EpochDriver(spark, store, seed, nHosts,
-      epochBudgetMs = budgetMs, compactSeenEvery = compactEvery)
+      epochBudgetMs = budgetMs, compactSeenEvery = compactEvery,
+      sinkDir = sys.env.get("SPARK_GRAFT_SINK_DIR"))
     if (store.latest().isEmpty)
       driver.init(SimWeb.seedUrls(nSeeds, nHosts, seed))
 

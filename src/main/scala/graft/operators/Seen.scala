@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * only ever used to prune rows that then still pass through the exact
   * `left_anti` — the final seen-set equals the reference's exactly; the
   * Bloom just keeps the exact join's probe side small.
+  *
+  * Why Bloom and not cuckoo (the north rule allows either): the seen set
+  * is append-only (URLs are never un-seen), so cuckoo's one advantage —
+  * deletion — buys nothing here, while the engine's log-structured build
+  * depends on a property cuckoo lacks: per-epoch segment filters must
+  * merge associatively/commutatively under partial aggregation and across
+  * epoch appends (reduce/merge in BloomAgg, orBlobs in the executor-side
+  * table merge). Bloom merge is bitwise OR — O(bytes), exact, order-free;
+  * merging cuckoo filters means re-inserting victims and can FAIL at
+  * load, which would poison an epoch commit. Same fpp-per-bit class
+  * either way at our ~10 bits/URL operating point.
   */
 object Bloom {
 
