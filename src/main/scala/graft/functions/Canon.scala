@@ -81,10 +81,19 @@ object Canon {
     */
   def canonUrl(u: Column, base: String): Column = canonUrlCol(u, lit(base))
 
-  /** canonUrl with a per-row base (SQL-function form; prefer the staged
-    * `canonicalizeCol` in DataFrame pipelines — see its doc).
+  /** canonUrl with a per-row base (SQL-function form) — the native one-pass
+    * expression (graft.plans.UrlExprs.CanonUrlNative); semantics identical
+    * to `canonUrlColRegex` below (CanonSpec pins the equivalence).
     */
-  def canonUrlCol(u: Column, base: Column): Column = {
+  def canonUrlCol(u: Column, base: Column): Column =
+    graft.plans.UrlExprs.canonUrl(u, base)
+
+  /** The original regex formulation of canonUrlCol, kept as the in-repo
+    * semantic twin the native expression is property-tested against (the
+    * DuckDB oracle mirrors THIS form). Fused macro — see canonicalizeColRegex
+    * for the staged variant used in pipelines before round 3.
+    */
+  def canonUrlColRegex(u: Column, base: Column): Column = {
     val abs = when(u.startsWith("/"), concat(base, u)).otherwise(u)
     val nofrag = regexp_replace(abs, "#.*$", "")
     val q = urlQuery(nofrag)
@@ -108,8 +117,26 @@ object Canon {
 
   /** canonicalize with a per-row base origin (e.g. the fetched page's own
     * origin, for resolving root-relative hrefs — X8 against dynamic base).
+    * Round 3: native one-pass expressions (graft.plans.UrlExprs) replace
+    * the 6-regex staged pipeline in the hot path — the local[32] profile
+    * put the staged form's regex evaluations at the center of the crawl
+    * pipeline's dominant stage. `canonicalizeColRegex` keeps the regex
+    * formulation as the semantic twin (CanonSpec property-tests the two
+    * against each other and against the plain-Scala oracle; the DuckDB
+    * oracle SQL still mirrors the regex form, so every Verify run
+    * independently cross-checks the native scan).
     */
   def canonicalizeCol(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      base: Column): org.apache.spark.sql.DataFrame = {
+    import graft.plans.UrlExprs
+    df.withColumn("canon_url", UrlExprs.canonUrl(col(urlCol), base))
+      .withColumn("host", UrlExprs.canonHost(col("canon_url")))
+  }
+
+  /** The staged regex formulation of canonicalizeCol (pre-round-3 hot
+    * path), kept as the property-test twin of the native expressions.
+    */
+  def canonicalizeColRegex(df: org.apache.spark.sql.DataFrame, urlCol: String,
       base: Column): org.apache.spark.sql.DataFrame = {
     val u = col(urlCol)
     df.withColumn("_abs", when(u.startsWith("/"), concat(base, u)).otherwise(u))

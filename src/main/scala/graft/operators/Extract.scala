@@ -22,8 +22,9 @@ object Extract {
       .select(col("doc_id"), explode(col("spans")).as("span"))
       .filter(col("span.kind") === "text")
       .select(col("doc_id"),
-        explode(regexp_extract_all(col("span.text"), lit(SimWeb.urlRegex), lit(0)))
-          .as("url"))
+        // native one-pass scan == regexp_extract_all(text, SimWeb.urlRegex)
+        // (ExtractSpec pins the equivalence; SeqOracle keeps the regex form)
+        explode(graft.plans.UrlExprs.extractUrls(col("span.text"))).as("url"))
 
   /** Canonicalize candidates against each page's own origin (X14 + X8 with
     * per-row base), drop non-http (F3), dedup per epoch (D1).
@@ -32,8 +33,7 @@ object Extract {
     val cand = candidates(docs)
       // the page's own origin (scheme INCLUDED — an http page must resolve
       // relative links to http, X8), doc_id being the page's canon_url
-      .withColumn("_base",
-        regexp_extract(col("doc_id"), "^([a-z]+://[^/?#]*)", 1))
+      .withColumn("_base", graft.plans.UrlExprs.origin(col("doc_id")))
     Canon.canonicalizeCol(cand, "url", col("_base"))
       .filter(Canon.isHttp(col("canon_url")))
       .select(col("canon_url"), col("host"), col("doc_id").as("src_doc"))
@@ -48,8 +48,7 @@ object Extract {
     */
   def canonUrlSet(docs: DataFrame): DataFrame = {
     val cand = candidates(docs)
-      .withColumn("_base",
-        regexp_extract(col("doc_id"), "^([a-z]+://[^/?#]*)", 1))
+      .withColumn("_base", graft.plans.UrlExprs.origin(col("doc_id")))
     Canon.canonicalizeCol(cand, "url", col("_base"))
       .filter(Canon.isHttp(col("canon_url")))
       .select("canon_url")

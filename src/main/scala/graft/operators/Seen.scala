@@ -209,11 +209,23 @@ object Seen {
     * Correctness never depends on the Bloom (no false-negative property is
     * tested in BloomSpec); it only shrinks the join input.
     */
+  /** The exact join is HINTED to shuffled-hash with the seen side as the
+    * build: Spark's default (preferSortMergeJoin) would SORT both sides —
+    * an O(n log n) pass over the full seen set every epoch. The seen table
+    * is already hash-bucketed on canon_url (SeenBucketSpec pins the
+    * no-Exchange scan), so per partition the build side is |seen|/P rows —
+    * a hash table per task is exactly what partition sizing already
+    * budgets for, at the bench geometry and at 10^10 URLs alike (P grows
+    * with the table; the routed path below takes over past the broadcast
+    * ceiling). Anti/outer semantics and results are identical either way.
+    */
   def filterUnseen(candidates: DataFrame, urlCol: String, seen: DataFrame,
       bloom: Option[org.apache.spark.broadcast.Broadcast[SegmentedBloom]]): DataFrame =
     bloom match {
       case None =>
-        candidates.join(seen.withColumnRenamed("canon_url", urlCol).select(urlCol),
+        candidates.join(
+          seen.withColumnRenamed("canon_url", urlCol).select(urlCol)
+            .hint("shuffle_hash"),
           Seq(urlCol), "left_anti")
       case Some(bc) =>
         // native codegen'd Expression, not a UDF (graft.plans
@@ -225,7 +237,7 @@ object Seen {
         // exact set contains them (dropped by the null filter).
         val maybe = graft.plans.BloomMightContain(col(urlCol), bc)
         val marker = seen.select(col("canon_url").as("_seen_url"),
-          lit(true).as("_in_seen"))
+          lit(true).as("_in_seen")).hint("shuffle_hash")
         candidates
           .join(marker, col(urlCol) === col("_seen_url") && maybe, "left_outer")
           .filter(col("_in_seen").isNull)

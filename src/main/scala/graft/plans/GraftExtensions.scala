@@ -54,6 +54,11 @@ object GraftExtensions {
       "dot_product(a, b) - codegen'd dot product over two ARRAY<DOUBLE>") { es =>
       require(es.size == 2, "dot_product(a, b)")
       DotProduct(es.head, es(1))
+    },
+    fn("extract_urls",
+      "extract_urls(text) - URL-grammar matches of a text span, in order") { es =>
+      require(es.size == 1, "extract_urls(text)")
+      UrlExprs.ExtractUrlsNative(es.head)
     })
 
   /** Register the same functions on an already-built session (getOrCreate

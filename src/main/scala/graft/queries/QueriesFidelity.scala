@@ -270,10 +270,10 @@ object QueriesFidelity {
         .select(col("doc_id"), explode(col("spans")).as("span"))
         .filter(col("span.kind") === "text")
         .select(col("doc_id"),
-          explode(regexp_extract_all(col("span.text"),
-            lit(SimWeb.urlRegex), lit(0))).as("url"))
-        .withColumn("_base",
-          regexp_extract(col("doc_id"), "^([a-z]+://[^/?#]*)", 1))
+          // native one-pass scan; the DuckDB side keeps regexp_extract_all,
+          // so the oracle gate independently cross-checks the native scan
+          explode(graft.plans.UrlExprs.extractUrls(col("span.text"))).as("url"))
+        .withColumn("_base", graft.plans.UrlExprs.origin(col("doc_id")))
       Canon.canonicalizeCol(cand, "url", col("_base"))
         .filter(Canon.isHttp(col("canon_url")))
         .select("doc_id", "canon_url", "host")

@@ -70,6 +70,74 @@ class CanonSpec extends SparkSpecBase {
     assert(SimWeb.canonScala("https://h.com:8080/x", base) == "https://h.com:8080/x")
   }
 
+  // ---- round 3: native one-pass expression vs the regex formulations ----
+
+  /** Adversarial inputs for the native-vs-regex twin: degenerate schemes,
+    * bare separators, surviving '#' after failed $ anchors, line
+    * terminators around ports/fragments, non-ASCII letters (asciiLower must
+    * leave them), unsorted/empty query params, multiple '?'.
+    */
+  private val adversarial: Seq[String] = Seq(
+    "", "/", "?", "a", "://", ":///x", "http://", "https://",
+    "https://h?", "https://h?&", "https://h?b&a&", "https://h?b=2&a=1&&",
+    "foo?b&a", "/rel?z=1&a=2#f", "HtTp://Mixed.Case/Path",
+    "ftp://h:80/x", "https://h:443", "https://h:443?q=1", "http://:80/x",
+    "https://UPPER.HOST:8080/P?Q=v#F", "javascript:void(1)",
+    "a+b-c.9://Host:443/p?x", "https://h/a://b?y&x", "https://h/p?",
+    "https://h/p?#f", "scheme://", "http://h#f?notquery",
+    "https://h/p?a=1?b=2", "x/y", "//proto-relative/x",
+    "https://\u00c4B.com/\u00dcber?\u00e9=1&A=2", // non-ASCII: translate-only lower
+    "https://h:80\n", "https://h:443\nx", "http://h:80\r\n",
+    "https://h#frag\nrest", "https://h#a\nb#c", "https://h#t\u2028u",
+    "https://h/p#", "#lead", "a#b#c", "https://h io?x", "Https://h/x")
+
+  private def viaNative(urls: Seq[String]): Seq[(String, String)] = {
+    import spark.implicits._
+    Canon.canonicalizeCol(urls.toDF("url"), "url", lit(base))
+      .select("canon_url", "host").as[(String, String)].collect().toSeq
+  }
+
+  private def viaRegex(urls: Seq[String]): Seq[(String, String)] = {
+    import spark.implicits._
+    Canon.canonicalizeColRegex(urls.toDF("url"), "url", lit(base))
+      .select("canon_url", "host").as[(String, String)].collect().toSeq
+  }
+
+  test("native canon expression == staged regex pipeline on adversarial + generated inputs") {
+    val urls = adversarial ++ Gen.listOfN(400, genUrl).sample.get
+    val nat = viaNative(urls)
+    val reg = viaRegex(urls)
+    urls.lazyZip(nat).lazyZip(reg).foreach { (u, a, b) =>
+      assert(a == b, s"native/regex canon mismatch for '$u': native=$a regex=$b")
+    }
+  }
+
+  test("native canon expression == fused regex canonUrlCol (SQL-function form)") {
+    import spark.implicits._
+    val urls = adversarial ++ Gen.listOfN(200, genUrl).sample.get
+    val df = urls.toDF("url")
+    val both = df.select(
+      Canon.canonUrlCol(col("url"), lit(base)).as("nat"),
+      Canon.canonUrlColRegex(col("url"), lit(base)).as("reg"))
+      .as[(String, String)].collect()
+    both.zip(urls).foreach { case ((a, b), u) =>
+      assert(a == b, s"mismatch for '$u': native=$a regex=$b")
+    }
+  }
+
+  test("native canon null semantics mirror the when/otherwise chain") {
+    import spark.implicits._
+    // (url, base): null url -> null; relative url + null base -> null;
+    // absolute url + null base -> canonicalized (base never consulted)
+    val rows = Seq(
+      (null: String, "https://b"),
+      ("/rel", null: String),
+      ("https://X.com:443/p?b=1&a=2", null: String))
+    val got = rows.toDF("url", "b")
+      .select(Canon.canonUrlCol(col("url"), col("b"))).as[String].collect().toSeq
+    assert(got == Seq(null, null, "https://x.com/p?a=2&b=1"))
+  }
+
   test("X1 product code mirrors the reference's split semantics") {
     import spark.implicits._
     // reference: url.split("products/")[-1].split("?")[0]

@@ -48,6 +48,44 @@ class ExtractSpec extends SparkSpecBase {
     assert(viaSpark == viaScala)
   }
 
+  test("native extractUrls == Java-regex findAll twin on adversarial and random texts") {
+    import org.scalacheck.Gen
+    import scala.jdk.CollectionConverters._
+    val crafted = Seq(
+      "", " ", "https://a.b/c", "xhttps://a.b/c", "httpss://x", "HTTPS://X#f?q",
+      "http:// space", "https:// ", "see /vp/products/123 and /vp/products/ end",
+      "/vp/products/12a", "a/vp/products/9", "https://h/vp/products/5?x=1 /vp/products/7",
+      "HTTP://A HTTPs://b hTTps://c", "https://h\nnext /vp/products/00",
+      "tab\thttps://t/xvert", "adjacent https://a https://b", "https://",
+      "/vp/products/123/vp/products/456", "end with https://tail",
+      "HTTPSS://x HTTPS://y", "http://\t", "https://ok\rhttp://also",
+      "/vp/products/" + "9" * 30, "nested https://o/vp/products/1 bare")
+    val fragment = Gen.oneOf(
+      "https", "http", "HTTPS", "HTTP", "://", "/vp/products/", "123", "0",
+      " ", "x", "?", "#", "/", ":", "\n", "\t", "s", "S", "p", "end")
+    val randomText = Gen.listOf(fragment).map(_.mkString)
+    val texts = crafted ++ Gen.listOfN(500, randomText).sample.get
+    texts.foreach { t =>
+      val native = graft.functions.CanonJvm.extractUrls(t).asScala.toList
+      val regex = SimWeb.extractRawScala(t).toList
+      assert(native == regex, s"extract mismatch for '$t': native=$native regex=$regex")
+    }
+  }
+
+  test("native extractUrls expression matches regexp_extract_all in a Spark plan") {
+    import spark.implicits._
+    val texts = Seq(
+      "see https://A.b:443/x#f and /vp/products/77 plus javascript:void(1)",
+      "bare /vp/products/ then HTTP://UP/low", "nothing here", "")
+    val df = texts.toDF("text")
+    val nat = df.select(explode(graft.plans.UrlExprs.extractUrls(col("text"))).as("u"))
+      .as[String].collect().toSeq
+    val reg = df.select(explode(
+      regexp_extract_all(col("text"), lit(SimWeb.urlRegex), lit(0))).as("u"))
+      .as[String].collect().toSeq
+    assert(nat == reg)
+  }
+
   test("canonCandidates: canonical, http-only, per-page base resolution, distinct") {
     import spark.implicits._
     val docs = sampleDocs
