@@ -41,9 +41,19 @@ object Bloom {
       ((h % m + m) % m).toInt
     }
 
+    // h2 derives from h1 by one extra splitmix round rather than a second
+    // full pass over the string: Kirsch–Mitzenmacher needs two hashes that
+    // are pairwise-independent-ish, not independently computed — the
+    // avalanche of splitmix64 over (h1 ^ const) gives that for half the
+    // string-hash cost per add/probe (the build touches every seen URL
+    // every epoch, so this is a per-epoch full-table scan cost).
+    @inline private def h1Of(s: String): Long = graft.gen.SimWeb.mix(0x5eedL, s)
+    @inline private def h2Of(h1: Long): Long =
+      graft.gen.SimWeb.splitmix(h1 ^ 0xb100dL) | 1L
+
     def add(s: String): Unit = {
-      val h1 = graft.gen.SimWeb.mix(0x5eedL, s)
-      val h2 = graft.gen.SimWeb.mix(0xb100dL, s) | 1L
+      val h1 = h1Of(s)
+      val h2 = h2Of(h1)
       var i = 0
       while (i < k) {
         val b = idx(h1, h2, i)
@@ -53,8 +63,8 @@ object Bloom {
     }
 
     def mightContain(s: String): Boolean = {
-      val h1 = graft.gen.SimWeb.mix(0x5eedL, s)
-      val h2 = graft.gen.SimWeb.mix(0xb100dL, s) | 1L
+      val h1 = h1Of(s)
+      val h2 = h2Of(h1)
       var i = 0
       while (i < k) {
         val b = idx(h1, h2, i)

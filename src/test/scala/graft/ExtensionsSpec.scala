@@ -28,4 +28,12 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(rows.getString(3) == "123")
     assert(rows.getLong(4) == graft.functions.CanonJvm.md5Long("abc"))
   }
+
+  test("extract_urls works from SQL and matches the regex twin") {
+    graft.plans.GraftExtensions.install(spark)
+    val text = "see https://A.b:443/x#f and /vp/products/77 plus javascript:void(1)"
+    val got = spark.sql(s"SELECT extract_urls('$text') AS us")
+      .collect().head.getSeq[String](0)
+    assert(got == SimWeb.extractRawScala(text))
+  }
 }
