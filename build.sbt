@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap cap for the forked run/test JVM (local[32] = driver + all
+  // executors in one JVM). 8g GC-throttled the 8M-URL bench legs and
+  // OOM-killed the 16M ones (BASELINE.md "round 3 FINAL"); 48g fits the
+  // cached working set of every workload in this repo with headroom on
+  // the 125 GiB box. A cap, not a reservation — small runs are unaffected.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
