@@ -45,7 +45,10 @@ object Bench {
         if (ok) dt else -1.0
       }
       once() // warm: codegen + ICU init + parquet footers
-      val trials = Seq(timed(), timed())
+      // best-of-3: the shared box's load waves last tens of seconds, long
+      // enough to contaminate BOTH runs of a best-of-2 (observed: q26
+      // 4.2 s quiet, 19.9 s with a wave across both timed runs)
+      val trials = Seq(timed(), timed(), timed())
       // a failure in any trial must stay visible as -1, never as a fast min
       (name, if (trials.exists(_ < 0)) -1.0 else trials.min)
     }
