@@ -7,12 +7,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query runs once warm (absorbing per-JVM one-time costs — whole-stage
   * codegen compiles, ICU collation class-init, JIT — that a long-lived
-  * 1000-executor job amortizes to zero) and then TWICE timed, reporting the
-  * minimum: on a shared box, external load only ever inflates a wall-clock
-  * sample, so the min is the only trial that estimates the query; a single
-  * timed run once recorded an 11x contention artifact (q26, BENCH_r02) that
-  * best-of-N makes structurally impossible. Same protocol as the crawl
-  * metric's best-of-3 below.
+  * 1000-executor job amortizes to zero) and then THREE times timed,
+  * reporting the minimum: on a shared box, external load only ever inflates
+  * a wall-clock sample, so the min is the only trial that estimates the
+  * query; a single timed run once recorded an 11x contention artifact (q26,
+  * BENCH_r02), and a load wave was later observed spanning both runs of a
+  * best-of-2. Same protocol as the crawl metric's best-of-3 below.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -213,7 +213,12 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
     val staged = new HPath(root, s"data/seen_compact_v$upTo").toString
     readSeen(upTo).distinct().write.mode("overwrite").parquet(staged)
     appendSeen(spark.read.parquet(staged), 0L)
-    (1L to upTo).foreach { e =>
+    // drop only partitions that actually exist: iterating 1..upTo would
+    // re-issue an ALTER TABLE + delete per ALREADY-folded epoch on every
+    // pass — O(epochs²) cumulative driver round-trips over a long crawl
+    val live = spark.sql(s"SHOW PARTITIONS $seenTable").collect()
+      .map(_.getString(0).stripPrefix("epoch=").toLong)
+    live.filter(e => e >= 1L && e <= upTo).foreach { e =>
       spark.sql(s"ALTER TABLE $seenTable DROP IF EXISTS PARTITION (epoch=$e)")
       fc.delete(new HPath(new HPath(seenLocation), s"epoch=$e"), true)
     }

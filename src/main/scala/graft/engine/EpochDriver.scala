@@ -64,12 +64,24 @@ final class EpochDriver(
     "cfg_salt_buckets" -> saltBuckets.toLong,
     "cfg_max_retries" -> maxRetries.toLong,
     "cfg_bloom_segments" -> bloomSegments.toLong,
-    "cfg_bloom_bits" -> bloomBitsPerSegment.toLong)
+    "cfg_bloom_bits" -> bloomBitsPerSegment.toLong,
+    "cfg_bloom_hash_version" -> Bloom.HashVersion)
+
+  /** Guard keys added after stores already existed: a manifest missing the
+    * key is treated as having the value the code shipped with before the
+    * key was introduced, so a semantic change older than its guard key
+    * still refuses to resume instead of silently corrupting (a v1-hashed
+    * seen_bloom probed with v2 hashes returns false negatives — seen URLs
+    * would re-enter the frontier as fresh).
+    */
+  private val cfgLegacyDefaults: Map[String, Long] =
+    Map("cfg_bloom_hash_version" -> 1L)
 
   private def requireCfgMatch(counters: Map[String, Long]): Unit =
     cfg.foreach { case (k, v) =>
-      counters.get(k).foreach(pv => require(pv == v,
-        s"resume config mismatch: $k snapshot=$pv, this driver=$v"))
+      counters.get(k).orElse(cfgLegacyDefaults.get(k)).foreach(pv =>
+        require(pv == v,
+          s"resume config mismatch: $k snapshot=$pv, this driver=$v"))
     }
 
   /** Initialize snapshot v0 from the ordered seed list. */

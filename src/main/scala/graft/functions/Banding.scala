@@ -6,7 +6,7 @@ package graft.functions
   *
   * == SimHash blocks (generalized Manku construction) ==
   *
-  * Detecting all pairs within hamming distance ≤ HD over 64-bit simhashes:
+  * Detecting all pairs within hamming distance ≤ HD over packed simhashes:
   * split the hash into B near-equal contiguous blocks and build one
   * candidate table per (B−HD)-subset of blocks, keyed on the concatenation
   * of that subset's block values. A pair differing in ≤ HD bits touches at
@@ -45,15 +45,23 @@ object Banding {
   /** Exactness target: all pairs within this hamming distance are found. */
   val HD = 3
 
+  /** Default hash width. Every function takes an explicit `hashBits` for
+    * hashes whose informative width is narrower: the simhash pipeline's
+    * token hashes come from md5Long (60 bits), so its packed simhashes
+    * never set bits 60-63 — blocking those dead bits into keys would
+    * dilute the occupancy math by exactly 2^4 in every table containing
+    * the top block. Exactness is unaffected either way (dead bits never
+    * differ), but the cost model is honest only over informative bits.
+    */
   val HASH_BITS = 64
 
   /** Near-equal contiguous block boundaries as (startBit, width); the low
     * `HASH_BITS % blocks` blocks take the extra bit.
     */
-  def blockBounds(blocks: Int): Seq[(Int, Int)] = {
-    require(blocks > HD && blocks <= HASH_BITS, s"need HD+1..$HASH_BITS blocks")
-    val base = HASH_BITS / blocks
-    val extra = HASH_BITS % blocks
+  def blockBounds(blocks: Int, hashBits: Int = HASH_BITS): Seq[(Int, Int)] = {
+    require(blocks > HD && blocks <= hashBits, s"need HD+1..$hashBits blocks")
+    val base = hashBits / blocks
+    val extra = hashBits % blocks
     val widths = Seq.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
     widths.scanLeft(0)(_ + _).zip(widths)
   }
@@ -61,17 +69,19 @@ object Banding {
   /** Width in bits of a table key = the B−HD NARROWEST blocks (the
     * conservative bound: every actual key is at least this wide).
     */
-  def keyWidthBits(blocks: Int): Int =
-    blockBounds(blocks).map(_._2).sorted.take(blocks - HD).sum
+  def keyWidthBits(blocks: Int, hashBits: Int = HASH_BITS): Int =
+    blockBounds(blocks, hashBits).map(_._2).sorted.take(blocks - HD).sum
 
   /** Smallest block count whose key space covers `expectedDocs` distinct
     * hashes at ≤ `targetBucket` mean occupancy with 8x margin. Monotone in
     * expectedDocs: ~10^8 → 4, ~10^9 → 5-6, ~10^12 → 8+.
     */
-  def blocksFor(expectedDocs: Long, targetBucket: Int = 64): Int = {
+  def blocksFor(expectedDocs: Long, targetBucket: Int = 64,
+      hashBits: Int = HASH_BITS): Int = {
     val neededKeys = math.max(1.0, expectedDocs.toDouble / targetBucket * 8.0)
     val neededBits = math.ceil(math.log(neededKeys) / math.log(2.0)).toInt
-    (HD + 1 to 16).find(b => keyWidthBits(b) >= neededBits).getOrElse(16)
+    (HD + 1 to 16).find(b => keyWidthBits(b, hashBits) >= neededBits)
+      .getOrElse(16)
   }
 
   /** All (tableId, key) probes for one simhash under B blocks: one table
@@ -80,8 +90,9 @@ object Banding {
     * holds it. Deterministic table order (lexicographic subsets) so the
     * same tableId means the same subset on every row.
     */
-  def tableKeys(simhash: Long, blocks: Int): Seq[(Int, Long)] = {
-    val bounds = blockBounds(blocks)
+  def tableKeys(simhash: Long, blocks: Int,
+      hashBits: Int = HASH_BITS): Seq[(Int, Long)] = {
+    val bounds = blockBounds(blocks, hashBits)
     blockSubsets(blocks).zipWithIndex.map { case (subset, tid) =>
       var key = 0L
       subset.foreach { bi =>
@@ -98,9 +109,10 @@ object Banding {
     (0 until blocks).combinations(blocks - HD).map(_.toSeq).toSeq
 
   /** Exact check: two hashes within HD must share ≥ 1 (tableId, key). */
-  def shareTable(a: Long, b: Long, blocks: Int): Boolean = {
-    val ka = tableKeys(a, blocks)
-    val kb = tableKeys(b, blocks)
+  def shareTable(a: Long, b: Long, blocks: Int,
+      hashBits: Int = HASH_BITS): Boolean = {
+    val ka = tableKeys(a, blocks, hashBits)
+    val kb = tableKeys(b, blocks, hashBits)
     ka.zip(kb).exists { case (x, y) => x == y }
   }
 

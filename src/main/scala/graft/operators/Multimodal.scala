@@ -41,7 +41,7 @@ object Multimodal {
 
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     if (payload.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i))
-        && payload.length >= 16 && new String(payload, 12, 4, "US-ASCII") == "IHDR") {
+        && new String(payload, 12, 4, "US-ASCII") == "IHDR") {
       Some(("png", u32(16).toInt, u32(20).toInt))
     } else if (payload.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
@@ -117,9 +117,12 @@ object Multimodal {
       require(decoderReady)
       rows.map { r =>
         val (sw, sh, f, emb) = decodeStub(r.payload, r.kind)
-        // real container headers win; the stub only covers payloads that
-        // aren't actual image bytes (this sandbox's synthetic corpora)
-        val (w, h) = parseImageHeader(r.payload)
+        // real container headers win for image rows; other kinds keep the
+        // stub dimensions — an audio/video payload can legitimately START
+        // with JPEG/PNG magic (embedded cover art), and parsing that would
+        // silently assign the artwork's dimensions to the track
+        val (w, h) = (if (r.kind == "image") parseImageHeader(r.payload)
+          else None)
           .map { case (_, pw, ph) => (pw, ph) }
           .getOrElse((sw, sh))
         MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, f, emb)

@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** Version of the bit-level hash layout persisted in seen_bloom blobs.
+    * Bump whenever h1Of/h2Of/idx change: a filter built by one version
+    * probed by another yields silent FALSE NEGATIVES (seen URLs re-enter
+    * the frontier), so EpochDriver refuses to resume a store whose
+    * manifest carries a different version. v1 = second hash computed as
+    * an independent string pass; v2 = h2 derived from h1 by one splitmix
+    * round.
+    */
+  val HashVersion = 2L
+
   /** Pure bit-set Bloom over strings; k hashes by double hashing
     * (h1 + i·h2, Kirsch–Mitzenmacher). Plain Scala so the fetch simulator,
     * the Aggregator below, and tests share one implementation.
@@ -276,17 +286,20 @@ object Seen {
       seen: DataFrame, segDf: DataFrame, segments: Int): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // one shuffle of the epoch×segment blobs, OR-merged INSIDE the cogroup
+    // function: a reduceGroups pre-merge would shuffle the merged blobs a
+    // second time just to co-partition them with the candidates — at the
+    // 10^10-URL geometry that second pass moves the full ~multi-GB filter
+    // set again for no benefit
     val blobs = segDf.select(col("segment_id"), col("bloom"))
       .as[(Long, Array[Byte])]
-      .groupByKey(_._1)
-      .reduceGroups((a, b) => (a._1, Bloom.orBlobs(a._2, b._2)))
-      .map { case (id, (_, blob)) => (id, blob) }
       .groupByKey(_._1)
     val urls = candidates.select(col(urlCol)).distinct().as[String]
       .groupByKey(u =>
         graft.functions.CanonJvm.md5Long(u) % segments.toLong)
     val maybe = urls.cogroup(blobs) { (_, us, bs) =>
-      bs.nextOption().map(b => Bloom.Filter.deserialize(b._2)) match {
+      bs.map(_._2).reduceOption(Bloom.orBlobs)
+        .map(Bloom.Filter.deserialize) match {
         case Some(f) => us.filter(f.mightContain)
         case None => us
       }

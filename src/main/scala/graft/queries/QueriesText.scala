@@ -244,16 +244,22 @@ object QueriesText {
          |SELECT doc_a, doc_b, round(jacc, 6) AS jacc FROM j
          |WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
 
-  val SIMHASH_BITS = 64
+  /** 60, not 64: the token hashes come from Canon.md5Long (first 15 hex
+    * digits of md5 = 60 bits), so vote bits 60-63 are always -N and the
+    * packed simhash never sets them. Round 2 used 48 bits (12-bit band
+    * keys, occupancy-quadratic at web scale); an earlier round-3 cut
+    * declared 64 and silently carried 4 dead bits into every band/block
+    * key, overstating the bucket space by 2^4 in the tables containing
+    * the top block. 60 is md5Long's full informative width — the banding
+    * geometry below and Banding.blocksFor both derive from it.
+    */
+  val SIMHASH_BITS = 60
 
-  /** (doc_id, simhash) — SimHash-64 packed long (the full BIGINT width;
-    * round 2 used 48 bits, which capped the q44 band keys at 12 bits —
-    * 4,096 buckets — and made the in-bucket self-join occupancy-quadratic
-    * at web scale), computed by the explode/groupBy formulation (scales
-    * linearly; no 64-way expression blowup). Bit 63's term is Long.MinValue
-    * on both engines — the pack is a sum of disjoint-bit terms evaluated in
-    * ascending bit order, so no partial sum overflows (bits 0..62 max out
-    * at Long.MaxValue exactly). Shared by q25 and the q44 near-dup scan.
+  /** (doc_id, simhash) — SimHash packed long over SIMHASH_BITS informative
+    * bits, computed by the explode/groupBy formulation (scales linearly;
+    * no 64-way expression blowup). The pack is a sum of disjoint-bit
+    * terms, max term 1<<59, so no partial sum overflows. Shared by q25
+    * and the q44/q46 near-dup scans.
     */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val toks = tblSpread(s, dir, "documents")
@@ -277,9 +283,9 @@ object QueriesText {
     val votes = (0 until SIMHASH_BITS).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(",\n  ")
-    // ::BIGINT on the bit-63 term: DuckDB parses -9223372036854775808 as a
-    // negated HUGEINT literal, which would promote the whole sum (and the
-    // output column) to HUGEINT — a schema mismatch vs Spark's BIGINT
+    // ::BIGINT keeps the sum (and output column) BIGINT — DuckDB would
+    // otherwise pick the widest type across the CASE arms per its integer
+    // literal rules, risking a schema mismatch vs Spark's BIGINT
     val pack = (0 until SIMHASH_BITS)
       .map(b => s"CASE WHEN v$b > 0 THEN (${1L << b})::BIGINT ELSE 0::BIGINT END")
       .mkString(" + ")
@@ -296,21 +302,21 @@ object QueriesText {
       s"""WITH $duckSimhashCte
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin))
 
-  /** SimHash near-dup pairs, Manku-style: split the 64-bit hash into 4
-    * 16-bit bands; any pair within hamming distance ≤ 3 must agree exactly
+  /** SimHash near-dup pairs, Manku-style: split the 60-bit hash into 4
+    * 15-bit bands; any pair within hamming distance ≤ 3 must agree exactly
     * on at least one band (pigeonhole: 3 differing bits cannot touch all 4
     * bands), so band-equality candidate generation is EXACT — 100% recall
     * with no all-pairs scan — and the cheap bit_count verify keeps only
     * true near-dups. The self-join carries the packed hash (one long), so
     * verification costs no extra join.
     *
-    * Scale parameterization (round-2 verdict item 1): 16-bit band keys give
-    * 65,536 buckets per band — bucket occupancy ≈ N_groups/2^16, so the
+    * Scale parameterization (round-2 verdict item 1): 15-bit band keys give
+    * 32,768 buckets per band — bucket occupancy ≈ N_groups/2^15, so the
     * in-bucket self-join stays near-linear to ~10^8 distinct hashes. Beyond
     * that, band WIDTH must grow with the corpus: the generalized Manku
     * construction in [[graft.functions.Banding]] keys each of C(B,3) tables
     * on B-3 of B blocks (this query is its B=4 instance), widening the key
-    * to 64·(B-3)/B bits — 32 bits at B=6, 40 at B=8 — while hd≤3 pigeonhole
+    * to 60·(B-3)/B bits — 30 bits at B=6, 37 at B=8 — while hd≤3 pigeonhole
     * exactness is preserved. `Banding.blocksFor(expectedDocs)` derives B
     * with margin, and BandingSpec pins both the exactness and a
     * candidate-pairs budget on a 10^5-hash clustered corpus.
@@ -377,8 +383,8 @@ object QueriesText {
 
   /** q46 — the generalized Manku construction LIVE (B=6): same hd≤3
     * near-dup output as q44, generated through C(6,3)=20 tables keyed on
-    * 3-of-6 block concatenations (~32-bit keys, ~4·10^9 buckets/table) —
-    * the geometry `Banding.blocksFor` derives for a 10^9-10^10-hash corpus.
+    * 3-of-6 block concatenations (30-bit keys, ~10^9 buckets/table) —
+    * the geometry `Banding.blocksFor` derives for a ~10^9-hash corpus.
     * Output-identical to q44 by pigeonhole exactness of BOTH constructions
     * (RecallSpec pins the cross-construction equality), so the wide-key
     * path is verified end-to-end in both engines, not only in the JVM
@@ -389,7 +395,7 @@ object QueriesText {
   private val q46 = Q("q46_dedup_simhash_b6",
     (s, dir) => {
       import graft.functions.Banding
-      val bounds = Banding.blockBounds(B6)
+      val bounds = Banding.blockBounds(B6, SIMHASH_BITS)
       val subsets = Banding.blockSubsets(B6)
       def blk(bi: Int): Column = {
         val (st, w) = bounds(bi)
@@ -428,7 +434,7 @@ object QueriesText {
     },
     Some {
       import graft.functions.Banding
-      val bounds = Banding.blockBounds(B6)
+      val bounds = Banding.blockBounds(B6, SIMHASH_BITS)
       val subsets = Banding.blockSubsets(B6)
       def blkSql(bi: Int): String = {
         val (st, w) = bounds(bi)

@@ -69,8 +69,10 @@ object RecordSink {
       rows.foreach { r =>
         if (inBuf > 0) buf.append(',')
         // value is already a JSON object string; key mirrors the bridge's
-        // string key field
-        buf.append("{\"key\":").append(jsonString(r.getString(0)))
+        // string key field (nullable — a null key partitions round-robin
+        // on a real bridge, so emit JSON null rather than NPE)
+        val key = if (r.isNullAt(0)) "null" else jsonString(r.getString(0))
+        buf.append("{\"key\":").append(key)
           .append(",\"value\":").append(r.getString(1)).append('}')
         inBuf += 1
         if (inBuf >= batchSize) flush()

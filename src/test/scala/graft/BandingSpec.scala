@@ -23,15 +23,15 @@ class BandingSpec extends SparkSpecBase {
     IndexedSeq.fill(n) { h = SimWeb.splitmix(h); h }
   }
 
-  /** Flip 1..3 distinct bits — a true near-dup at hd ≤ 3. */
-  private def perturb(x: Long, seed: Long): Long = {
+  /** Flip 1..3 distinct bits below `width` — a true near-dup at hd ≤ 3. */
+  private def perturb(x: Long, seed: Long, width: Int = 64): Long = {
     var h = SimWeb.splitmix(seed)
     val nFlips = 1 + ((h & Long.MaxValue) % 3).toInt
     var out = x
     val flipped = scala.collection.mutable.Set.empty[Int]
     while (flipped.size < nFlips) {
       h = SimWeb.splitmix(h)
-      val b = ((h & Long.MaxValue) % 64).toInt
+      val b = ((h & Long.MaxValue) % width).toInt
       if (flipped.add(b)) out ^= (1L << b)
     }
     out
@@ -43,6 +43,21 @@ class BandingSpec extends SparkSpecBase {
       val y = perturb(x, i * 1000L + j)
       assert(Banding.shareTable(x, y, b),
         f"hd<=3 pair missed at B=$b: $x%016x vs $y%016x")
+    }
+  }
+
+  test("60-bit instantiation (md5Long simhashes): exactness, undiluted keys") {
+    // the simhash pipeline's informative width (QueriesText.SIMHASH_BITS =
+    // 60: md5Long never sets bits 60-63). Blocks must partition only the
+    // informative bits — key widths are 60-derived, not 64-derived
+    assert(graft.queries.QueriesText.SIMHASH_BITS === 60)
+    assert(Banding.keyWidthBits(4, 60) === 15)
+    assert(Banding.keyWidthBits(6, 60) === 30)
+    val bases = hashes(300, 0x60bedL).map(_ & ((1L << 60) - 1))
+    for (b <- Seq(4, 6); (x, i) <- bases.zipWithIndex; j <- 0 until 6) {
+      val y = perturb(x, i * 601L + j, width = 60)
+      assert(Banding.shareTable(x, y, b, 60),
+        f"60-bit hd<=3 pair missed at B=$b: $x%016x vs $y%016x")
     }
   }
 

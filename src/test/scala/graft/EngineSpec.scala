@@ -125,6 +125,28 @@ class EngineSpec extends SparkSpecBase {
     assert(e.getMessage.contains("resume config mismatch"))
   }
 
+  test("resume from a store with pre-versioned Bloom hashes is rejected") {
+    val dir = tmpDir()
+    val a = newDriver(dir)
+    a.init(seeds)
+    a.runEpoch()
+    // simulate a store written before cfg_bloom_hash_version existed: the
+    // manifest's counters lack the key, which the driver must treat as
+    // hash v1 (the independently-computed second string hash) — probing a
+    // v1-built seen_bloom with v2 hashes would yield silent false
+    // negatives, so this resume has to fail loudly, not continue
+    val store = new SnapshotStore(dir, spark)
+    val m = store.latest().get
+    val tables = m.tables.keys.map(t =>
+      t -> store.readTable(m, t).get.cache()).toMap
+    tables.values.foreach(_.count()) // materialize before re-commit
+    store.commit(m.epoch, tables, Map.empty,
+      m.counters - "cfg_bloom_hash_version")
+    val b = newDriver(dir)
+    val e = intercept[IllegalArgumentException](b.runEpoch())
+    assert(e.getMessage.contains("cfg_bloom_hash_version"))
+  }
+
   test("seen compaction: fewer partitions, identical set, and it SURVIVES a restart") {
     val dirC = tmpDir()
     val c = new EpochDriver(spark, new SnapshotStore(dirC, spark), seed, nHosts,

@@ -72,13 +72,18 @@ class MultimodalSpec extends SparkSpecBase {
     val media = Seq(
       Multimodal.MediaRow(1L, "image", jpegBytes(800, 600)),
       Multimodal.MediaRow(2L, "image", pngBytes(1024, 768)),
-      Multimodal.MediaRow(3L, "image", "not an image".getBytes)).toDS()
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes),
+      // an audio payload that STARTS with a JPEG container (embedded cover
+      // art): the header parse must not hijack a non-image row's dims
+      Multimodal.MediaRow(4L, "audio", jpegBytes(300, 300))).toDS()
     val got = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> ((f.width, f.height))).toMap
     assert(got(1L) === ((800, 600)))
     assert(got(2L) === ((1024, 768)))
     // stub dims are in [64, 1024)
     assert(got(3L)._1 >= 64 && got(3L)._1 < 1024)
+    assert(got(4L) !== ((300, 300)),
+      "audio row took its cover art's dimensions")
   }
 
   test("video rows get multi-frame counts, images single") {
