@@ -25,8 +25,10 @@ package graft.functions
   *     self-join cost Σ n_b² stays ~linear while 2^keyWidth ≳ N.
   *
   * `blocksFor` picks the smallest B whose key space covers the expected
-  * corpus with margin; q44 runs the B=4 instance (the smallest, correct to
-  * ~10^8 distinct hashes), and BandingSpec pins exactness plus a
+  * corpus with margin; q44 runs the B=4 instance (the smallest — recall is
+  * exact at any N, but its 15-bit keys keep the in-bucket cost near-linear
+  * only to the ~10^6-10^7-distinct-hash regime), and BandingSpec pins
+  * exactness plus a
   * candidate-pair budget for the derived-B path on a clustered 10^5-hash
   * corpus. Reference behavior being scaled: the reference crawler dedups
   * with an exact in-memory set (src/api/crawling_info_list.py:94) — no
@@ -74,7 +76,8 @@ object Banding {
 
   /** Smallest block count whose key space covers `expectedDocs` distinct
     * hashes at ≤ `targetBucket` mean occupancy with 8x margin. Monotone in
-    * expectedDocs: ~10^8 → 4, ~10^9 → 5-6, ~10^12 → 8+.
+    * expectedDocs (at 64 hash bits): ~10^5 → 4, ~10^8 → 5, ~10^10 → 6,
+    * ~10^12 → 8 (BandingSpec pins these).
     */
   def blocksFor(expectedDocs: Long, targetBucket: Int = 64,
       hashBits: Int = HASH_BITS): Int = {

@@ -17,14 +17,20 @@ import graft.model.FetchTask
   */
 object Sched {
 
+  /** Floor of every crawl delay robotsFor can emit (and of the engine's
+    * default delay): the scheduler's per-host window pre-cut derives its
+    * exact rank bound from this.
+    */
+  val MinCrawlDelayMs = 500L
+
   /** Deterministic robots table for a set of hosts: crawl-delay in
-    * [500, 3000) ms and a /search disallow for every 4th host (hash-picked).
-    * Mirrored exactly by the sequential oracle.
+    * [MinCrawlDelayMs, 3000) ms and a /search disallow for every 4th host
+    * (hash-picked). Mirrored exactly by the sequential oracle.
     */
   def robotsFor(hosts: Seq[String], seed: Long): Seq[(String, Long, Seq[String])] =
     hosts.map { h =>
       val m = SimWeb.mix(seed, s"robots:$h") & Long.MaxValue
-      val delay = 500L + m % 2500L
+      val delay = MinCrawlDelayMs + m % 2500L
       val disallow = if (m % 4 == 0) Seq("/search") else Seq.empty[String]
       (h, delay, disallow)
     }
@@ -56,12 +62,29 @@ object Sched {
     * budget cut. Input must carry host, canon_url, depth, score,
     * crawl_delay_ms. Output adds rank and cum_cost_ms, keeps rows whose
     * cumulative cost fits the epoch budget.
+    *
+    * Scale shape (round-3 verdict item 2): every fetch costs at least
+    * `minDelayMs`, so no row ranked past floor(budget / minDelayMs) can
+    * ever fit the budget — the per-host window is PRE-CUT to that rank
+    * before the running cost sum. The rank filter directly above the
+    * row_number window rewrites to WindowGroupLimitExec (per-partition
+    * top-k insertion, pinned in PlanSpec), so a 10^10-row pending set pays
+    * top-k-per-host instead of a full per-host sort+scan; only the ≤cut
+    * survivors reach the cum-sum window (same host partitioning — no second
+    * exchange). The cut is exact, never semantic: callers whose delays can
+    * undercut the engine's floor pass their true minimum (minDelayMs = 1
+    * keeps correctness and merely loses the pre-cut, which then exceeds
+    * the WindowGroupLimit rewrite threshold and stays a plain filter).
     */
-  def rankAndBudget(pending: DataFrame, epochBudgetMs: Long): DataFrame = {
+  def rankAndBudget(pending: DataFrame, epochBudgetMs: Long,
+      minDelayMs: Long = 1L): DataFrame = {
     val ord = Window.partitionBy("host")
       .orderBy(col("score").desc, col("depth").asc, col("canon_url").asc)
+    val cut = math.min(epochBudgetMs / math.max(1L, minDelayMs),
+      Int.MaxValue.toLong)
     pending
       .withColumn("rank", row_number().over(ord))
+      .filter(col("rank") <= cut)
       .withColumn("cum_cost_ms", sum(col("crawl_delay_ms")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_cost_ms") <= epochBudgetMs)

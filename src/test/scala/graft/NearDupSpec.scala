@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.Banding
+import graft.operators.NearDup
+
+/** The near-dup OPERATOR (round-3 verdict item 5): one call with a
+  * runtime-derived block count must reproduce the oracle-checked fixed-B
+  * instances exactly — B is a cost knob, never a recall knob.
+  */
+class NearDupSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+    .select("doc_id", "text")
+
+  test("derived-B pairs ≡ the pinned B=4 and B=6 instances") {
+    val sim = NearDup.simhash(docs).cache()
+    try {
+      def out(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      val b4 = out(NearDup.pairsFromSimhash(sim, 4))
+      val b6 = out(NearDup.pairsFromSimhash(sim, 6))
+      assert(b4 == b6, "B=4 vs B=6 disagree — construction exactness broken")
+      assert(b4.nonEmpty, "test premise: corpus has near-dup pairs")
+
+      // the one-call path: B derived from the true corpus size lands on the
+      // smallest geometry and matches
+      val n = docs.count()
+      val bDerived = Banding.blocksFor(n, hashBits = NearDup.SimhashBits)
+      assert(bDerived == 4, s"sf0.001 corpus should derive B=4, got $bDerived")
+      assert(out(NearDup.pairs(docs, n)) == b4)
+
+      // a web-scale size hint derives a wider geometry (more, narrower-key
+      // tables) and is STILL output-identical — recall never depends on B
+      val bWide = Banding.blocksFor(10000000000L, hashBits = NearDup.SimhashBits)
+      assert(bWide > 4, s"10^10 docs must widen the geometry, got B=$bWide")
+      assert(out(NearDup.pairsFromSimhash(sim, bWide)) == b4)
+    } finally sim.unpersist()
+  }
+
+  test("operator simhash matches the q25 oracle-checked values") {
+    // NearDup.simhash IS q25's projection (QueriesText delegates); pin the
+    // linkage so a drift in either side breaks loudly
+    val viaQuery = SparkEntry.queries("q25_dedup_simhash")(spark, dir)
+      .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    val viaOp = NearDup.simhash(docs)
+      .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    assert(viaOp == viaQuery)
+  }
+}

@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpecBase {
       s"expected partial (map-side) dedup aggregate in pair generation:\n$p")
   }
 
+  test("q26 jaccard: no exchange keyed on the word-set array") {
+    // group collapse + membership join ride a 60-bit scalar set-hash; an
+    // exchange hash-partitioned on the array<bigint> word set would shuffle
+    // (and compare) the full arrays — the round-3 verdict's last q26 cost
+    val p = planOf("q26_dedup_ngram_jaccard")
+    val arrayKeyed = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(ws#")).toSeq
+    assert(arrayKeyed.isEmpty,
+      s"exchange keyed on the word-set array:\n${arrayKeyed.mkString("\n")}")
+  }
+
   test("corpus-sized join sides carry no forced broadcast hint (q24/q26/q29/q30/q37)") {
     // scale rule: broadcast() of an unbounded table OOMs at 100 TB; only
     // AQE's runtime size measurement may pick a broadcast. A forced hint
@@ -67,6 +78,28 @@ class PlanSpec extends SparkSpecBase {
       l.contains("Exchange hashpartitioning"))
     // rank + running sum share the same (host) partitioning: one hash
     // exchange, not two
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("scheduler pre-cut: budget-derived rank filter runs as WindowGroupLimit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.Sched
+    val rows = (0 until 2000).map { i =>
+      (s"https://h${i % 7}.example.com/p/$i", s"h${i % 7}.example.com",
+        i % 4, 1.0 / (1 + i % 9))
+    }.toDF("canon_url", "host", "depth", "score")
+      .withColumn("crawl_delay_ms", lit(500L))
+    val p = Sched.rankAndBudget(rows, 10000L, Sched.MinCrawlDelayMs)
+      .queryExecution.executedPlan.toString
+    // the rank<=cut filter must rewrite to per-partition top-k insertion —
+    // at a 10^10-row pending set this is the difference between a full
+    // per-host sort and a bounded heap per host
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pre-cut rewrite:\n$p")
+    // and the cum-sum window must reuse the host partitioning: still one
+    // hash exchange total
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 

@@ -28,6 +28,21 @@ class SchedSpec extends SparkSpecBase {
     }
   }
 
+  test("window pre-cut is exact: identical output with and without it") {
+    import spark.implicits._
+    // per-row varying delays (all >= the 500ms floor) — the pre-cut bound
+    // must hold for any delay mix, not only per-host-constant delays
+    val rows = (0 until 800).map { i =>
+      val host = SimWeb.hostName(i % 9)
+      (s"https://$host/p/$i", host, i % 5, 1.0 / (1 + i % 13))
+    }.toDF("canon_url", "host", "depth", "score")
+      .withColumn("crawl_delay_ms", lit(500L) + col("depth") * lit(700L))
+    def out(minDelay: Long) =
+      Sched.rankAndBudget(rows, 9000L, minDelay).collect()
+        .map(_.toSeq).toSet
+    assert(out(Sched.MinCrawlDelayMs) == out(1L))
+  }
+
   test("rank follows (score desc, depth asc, canon asc) priority order") {
     import spark.implicits._
     val rows = Seq(
