@@ -12,9 +12,26 @@ import org.apache.spark.sql.SparkSession
   * a wall-clock sample, so the min is the only trial that estimates the
   * query; a single timed run once recorded an 11x contention artifact (q26,
   * BENCH_r02), and a load wave was later observed spanning both runs of a
-  * best-of-2. Same protocol as the crawl metric's best-of-3 below.
+  * best-of-2.
+  *
+  * The artifact is SELF-ADJUDICATING (round-3 verdict item 4): two
+  * consecutive rounds recorded a contaminated headline number and burned a
+  * judge session each on re-measurement, so alongside each query's min the
+  * JSON carries all three per-trial walls, a /proc/loadavg snapshot taken
+  * before and after the query's trials, and a `contended` list naming
+  * queries whose trial spread exceeds 2x (min >= 0.3 s — tiny queries have
+  * large relative jitter that means nothing). A reader can now see
+  * contamination in the artifact itself instead of re-running.
   */
 object Bench {
+
+  /** 1-minute load average, or -1 where /proc is unavailable. */
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,6 +44,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.configure(spark)
+
+    final case class QRes(name: String, min: Double, trials: Seq[Double],
+        loadBefore: Double, loadAfter: Double) {
+      def contended: Boolean =
+        min >= 0.3 && trials.forall(_ >= 0) && trials.max > 2.0 * min
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop-format write, NOT count(): count() lets the optimizer prune the
@@ -45,16 +68,27 @@ object Bench {
         if (ok) dt else -1.0
       }
       once() // warm: codegen + ICU init + parquet footers
+      val la0 = loadavg()
       // best-of-3: the shared box's load waves last tens of seconds, long
       // enough to contaminate BOTH runs of a best-of-2 (observed: q26
       // 4.2 s quiet, 19.9 s with a wave across both timed runs)
       val trials = Seq(timed(), timed(), timed())
+      val la1 = loadavg()
       // a failure in any trial must stay visible as -1, never as a fast min
-      (name, if (trials.exists(_ < 0)) -1.0 else trials.min)
+      QRes(name, if (trials.exists(_ < 0)) -1.0 else trials.min, trials, la0, la1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.min))
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val trialsJson = results.map(r =>
+      "\"" + r.name + "\":" + r.trials.map(fmt).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val loadJson = results.map(r =>
+      "\"" + r.name + "\":[" + fmt(r.loadBefore) + "," + fmt(r.loadAfter) + "]")
+      .mkString("{", ",", "}")
+    val contendedJson = results.filter(_.contended).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(_.min).filter(_ >= 0).sum
 
     // headline crawl metric (BASELINE.json): URLs fetched + post-dedup fresh
     // URLs per second, on the SAME workload BASELINE.md measures (8M-URL
@@ -63,12 +97,17 @@ object Bench {
     val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "8000000").toLong
     val crawlHosts = sys.env.getOrElse("SPARK_GRAFT_CRAWL_HOSTS", "5000").toInt
     BenchCrawl.pipelineThroughput(spark, crawlN / 4, crawlHosts) // warm
-    val trials = (1 to 3).map(_ => BenchCrawl.pipelineThroughput(spark, crawlN, crawlHosts))
-    val (nFrontier, fresh, crawlWall) = trials.minBy(_._3) // load only inflates
+    val crawlLa0 = loadavg()
+    val crawlTrials = (1 to 3).map(_ =>
+      BenchCrawl.pipelineThroughput(spark, crawlN, crawlHosts))
+    val crawlLa1 = loadavg()
+    val (nFrontier, fresh, crawlWall) = crawlTrials.minBy(_._3) // load only inflates
     val crawlUps = (nFrontier + fresh) / crawlWall
+    val crawlWalls = crawlTrials.map(t => fmt(t._3)).mkString("[", ",", "]")
+    val crawlContended = crawlTrials.map(_._3).max > 2.0 * crawlWall
 
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_urls_per_sec":$crawlUps,"crawl_n_urls":$crawlN,"crawl_wall_sec":$crawlWall}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_urls_per_sec":$crawlUps,"crawl_n_urls":$crawlN,"crawl_wall_sec":$crawlWall,"trials":$trialsJson,"loadavg":$loadJson,"contended":$contendedJson,"crawl_walls":$crawlWalls,"crawl_loadavg":[${fmt(crawlLa0)},${fmt(crawlLa1)}],"crawl_contended":$crawlContended}""")
     spark.stop()
   }
 }

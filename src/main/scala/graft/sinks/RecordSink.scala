@@ -6,7 +6,7 @@ import java.util.EnumSet
 import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path => HPath}
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** K1 record sink — the batched executor-side emitter the reference's
@@ -17,68 +17,107 @@ import org.apache.spark.sql.functions._
   * `{"records":[{"key": job_id, "value": message}]}` to
   * `/topics/<topic>`) — fine for a single browser process, fatal for a
   * 1000-executor job (one round-trip per row). Here each PARTITION batches
-  * its rows and emits one bridge payload per `batchSize` rows via
-  * foreachPartition: the client "connection" is opened once per partition
-  * (the partition-local init of SURVEY R3), rows stream through a bounded
-  * buffer (no partition-sized materialization), and every batch is one
-  * atomic emission.
+  * its rows and emits one bridge payload per `batchSize` rows: the client
+  * "connection" is opened once per partition (the partition-local init of
+  * SURVEY R3), rows stream through a bounded buffer (no partition-sized
+  * materialization), and every batch is one atomic emission.
   *
   * The transport is a topic DIRECTORY standing in for the bridge URL (this
   * sandbox has no Kafka; the payload bytes are exactly what the POST body
   * would be, so swapping the file write for an HTTP call is the only
-  * deployment delta). Each batch lands as `batch-p<partition>-<n>.json`
-  * via write-tmp-then-rename, so a killed task retry overwrites its own
-  * batches idempotently (task attempt outputs are keyed by partition id,
-  * not attempt id) and readers never observe a torn file.
+  * deployment delta). Each batch lands as `batch-<tag>-p<partition>-<n>
+  * .json` via write-tmp-then-rename; the tmp name additionally carries the
+  * TASK ATTEMPT id, so two live attempts of the same partition (speculative
+  * execution, a zombie task surviving a stage retry) never interleave
+  * writes into one tmp file — each renames its own complete bytes onto the
+  * (deterministic, content-identical) final name, and readers never observe
+  * a torn batch.
+  *
+  * After the job succeeds, the driver commits a `manifest-<tag>.json`
+  * naming exactly the batch files this emission produced; `readTopic`
+  * consumes only manifest-listed files, so orphans from an aborted earlier
+  * attempt with a different partitioning (stale `batch-*-pN-*.json` beyond
+  * the final partition count) are never read as duplicate records.
   */
 object RecordSink {
 
   /** Emit `df` to `topicDir`, one JSON bridge payload per ≤`batchSize`
     * rows per partition. `keyCol` becomes each record's key (the
     * reference keys on job_id); the full row becomes the value. `tag`
-    * namespaces this emission's batch files — callers emitting the same
-    * topic repeatedly (one call per epoch) pass a distinct tag per call,
-    * or later emissions overwrite earlier ones' batch names; a RETRY of
-    * the same (tag, partition) overwriting itself is exactly the
-    * idempotence we want.
+    * namespaces this emission's batch files and manifest — callers
+    * emitting the same topic repeatedly (one call per epoch) pass a
+    * distinct tag per call; a RETRY of the same (tag, partition)
+    * overwriting itself is exactly the idempotence we want.
     */
   def emit(df: DataFrame, keyCol: String, topicDir: String,
       tag: String = "0", batchSize: Int = 500): Unit = {
+    val spark = df.sparkSession
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+      spark.sparkContext.hadoopConfiguration)
     val kv = df.select(
       col(keyCol).cast("string").as("_key"),
       to_json(struct(df.columns.map(col): _*)).as("_value"))
-    kv.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val pid = TaskContext.getPartitionId()
-      val dir = new HPath(topicDir)
-      val fc = FileContext.getFileContext(dir.toUri, hadoopConf.value)
-      fc.mkdir(dir, FsPermission.getDirDefault, true)
-      var batchNo = 0
-      val buf = new StringBuilder
-      var inBuf = 0
-      def flush(): Unit = if (inBuf > 0) {
-        val body = s"""{"records":[${buf.result()}]}"""
-        val target = new HPath(dir, s"batch-$tag-p$pid-$batchNo.json")
-        val tmp = new HPath(dir, s".batch-$tag-p$pid-$batchNo.json.tmp")
-        val out = fc.create(tmp, EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
-        try out.write(body.getBytes(UTF_8)) finally out.close()
-        fc.rename(tmp, target, Options.Rename.OVERWRITE)
-        batchNo += 1; buf.clear(); inBuf = 0
-      }
-      rows.foreach { r =>
-        if (inBuf > 0) buf.append(',')
-        // value is already a JSON object string; key mirrors the bridge's
-        // string key field (nullable — a null key partitions round-robin
-        // on a real bridge, so emit JSON null rather than NPE)
-        val key = if (r.isNullAt(0)) "null" else jsonString(r.getString(0))
-        buf.append("{\"key\":").append(key)
-          .append(",\"value\":").append(r.getString(1)).append('}')
-        inBuf += 1
-        if (inBuf >= batchSize) flush()
-      }
-      flush()
-    }
+    // mapPartitions (not foreachPartition) so each task reports how many
+    // batches it published — the driver then commits the manifest naming
+    // exactly those files
+    val counts = kv
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .mapPartitions { rows =>
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
+        val dir = new HPath(topicDir)
+        val fc = FileContext.getFileContext(dir.toUri, hadoopConf.value)
+        fc.mkdir(dir, FsPermission.getDirDefault, true)
+        var batchNo = 0
+        val buf = new StringBuilder
+        var inBuf = 0
+        def flush(): Unit = if (inBuf > 0) {
+          val body = s"""{"records":[${buf.result()}]}"""
+          val target = new HPath(dir, s"batch-$tag-p$pid-$batchNo.json")
+          // attempt-unique tmp: concurrent attempts of this partition each
+          // write their own complete file and atomically rename it onto the
+          // shared final name (content is deterministic, so last-wins is
+          // byte-identical)
+          val tmp = new HPath(dir, s".batch-$tag-p$pid-$batchNo.a$attempt.json.tmp")
+          val out = fc.create(tmp, EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+          try out.write(body.getBytes(UTF_8)) finally out.close()
+          fc.rename(tmp, target, Options.Rename.OVERWRITE)
+          batchNo += 1; buf.clear(); inBuf = 0
+        }
+        rows.foreach { case (key0, value) =>
+          if (inBuf > 0) buf.append(',')
+          // value is already a JSON object string; key mirrors the bridge's
+          // string key field (nullable — a null key partitions round-robin
+          // on a real bridge, so emit JSON null rather than NPE)
+          val key = if (key0 == null) "null" else jsonString(key0)
+          buf.append("{\"key\":").append(key)
+            .append(",\"value\":").append(value).append('}')
+          inBuf += 1
+          if (inBuf >= batchSize) flush()
+        }
+        flush()
+        Iterator.single((pid, batchNo))
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
+      .collect()
+
+    // commit: name exactly this emission's batch files. Written
+    // tmp-then-rename so readers see the old manifest or the new one,
+    // never a torn list; orphan batch files (an aborted attempt that ran
+    // with a different partition count) are simply never listed.
+    val files = counts.flatMap { case (pid, n) =>
+      (0 until n).map(i => s"batch-$tag-p$pid-$i.json")
+    }.sorted
+    val dir = new HPath(topicDir)
+    val fc = FileContext.getFileContext(dir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.mkdir(dir, FsPermission.getDirDefault, true)
+    val body = files.map(jsonString).mkString("{\"files\":[", ",", "]}")
+    val target = new HPath(dir, s"manifest-$tag.json")
+    val tmp = new HPath(dir, s".manifest-$tag.json.tmp")
+    val out = fc.create(tmp, EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    fc.rename(tmp, target, Options.Rename.OVERWRITE)
   }
 
   private def jsonString(s: String): String =
@@ -90,11 +129,40 @@ object RecordSink {
     } + "\""
 
   /** Read a topic directory back as (key, value-json) rows — the test-side
-    * consumer. Batch files each hold one bridge payload.
+    * consumer. Only manifest-listed batch files are read (orphans from
+    * retried stages are ignored); a directory with no manifests (legacy or
+    * foreign) falls back to the batch-file glob.
     */
   def readTopic(spark: org.apache.spark.sql.SparkSession,
       topicDir: String): DataFrame = {
-    spark.read.json(s"$topicDir/batch-*.json")
+    val dir = new HPath(topicDir)
+    val fc = FileContext.getFileContext(dir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val manifests =
+      if (fc.util.exists(dir))
+        fc.util.listStatus(dir).map(_.getPath)
+          .filter(p => p.getName.startsWith("manifest-") &&
+            p.getName.endsWith(".json")).toSeq
+      else Seq.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val listed = manifests.flatMap { m =>
+      val in = fc.open(m)
+      val node = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
+        finally in.close()
+      import scala.jdk.CollectionConverters._
+      node.get("files").elements().asScala.map(f =>
+        new HPath(dir, f.asText()).toString).toSeq
+    }
+    val src =
+      if (manifests.nonEmpty) {
+        if (listed.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "key STRING, value STRING"))
+        spark.read.json(listed: _*)
+      } else spark.read.json(s"$topicDir/batch-*.json")
+    src
       .select(explode(col("records")).as("r"))
       .select(col("r.key").as("key"), to_json(col("r.value")).as("value"))
   }
