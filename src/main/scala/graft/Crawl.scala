@@ -13,10 +13,17 @@ import graft.gen.SimWeb
   *   [budgetMs] [compactEvery]
   * Parallelism/partitions come from SPARK_GRAFT_CPUS (default 32) so the
   * same job can be run at two cluster sizes for the scaling-efficiency
-  * evidence (BASELINE.md protocol). Seen-table log compaction runs every
-  * `compactEvery` epochs (default 4, 0 = off) — a long crawl otherwise
-  * accumulates one partition directory per epoch and the anti-join scan
-  * pays per-file open costs forever.
+  * evidence (BASELINE.md protocol). Seen-table AND frontier-log compaction
+  * run every `compactEvery` epochs (default 4, 0 = off) — a long crawl
+  * otherwise accumulates one seen partition directory + one frontier delta
+  * dir per epoch, and the anti-join / merge-on-read scans pay per-file
+  * open costs forever.
+  *
+  * SPARK_GRAFT_BLOOM_ROUTED=1 switches the seen-set prefilter to the
+  * segment-ROUTED probe (no merged Bloom broadcast anywhere — the
+  * ≳10^10.5-URL geometry, operators/Seen.filterUnseenRouted). Counters are
+  * byte-identical to the broadcast path (EngineSpec pins this); the knob
+  * is pure execution strategy.
   */
 object Crawl {
   def main(args: Array[String]): Unit = {
@@ -59,6 +66,8 @@ object Crawl {
     // messages through the batched K1/K2 sink (file-backed bridge topics)
     val driver = new EpochDriver(spark, store, seed, nHosts,
       epochBudgetMs = budgetMs, compactSeenEvery = compactEvery,
+      compactFrontierEvery = compactEvery,
+      bloomRouted = sys.env.get("SPARK_GRAFT_BLOOM_ROUTED").contains("1"),
       sinkDir = sys.env.get("SPARK_GRAFT_SINK_DIR"))
     if (store.latest().isEmpty)
       driver.init(SimWeb.seedUrls(nSeeds, nHosts, seed))

@@ -77,17 +77,37 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
   def readTable(m: Manifest, table: String): Option[DataFrame] =
     m.tables.get(table).filter(_.nonEmpty).map(ps => spark.read.parquet(ps: _*))
 
+  /** The version the NEXT commit will get (single-writer store), and the
+    * data directory that commit would assign to `table`. Callers that must
+    * make a table's bytes durable BEFORE building downstream results (the
+    * epoch driver writes each epoch's fetch output once and re-reads it
+    * columnar instead of caching it) write there directly and pass the dir
+    * through `commit(appendPaths = …)`; a crash before the manifest commit
+    * leaves an orphan dir that the deterministic re-run overwrites.
+    */
+  def nextVersion(): Long = latestVersion().map(_ + 1).getOrElse(0L)
+  def stagingDir(table: String): String =
+    new HPath(root, s"data/$table/v${nextVersion()}").toString
+
   /** Commit a new snapshot. `replace` tables point only at this commit's
     * files; `append` tables carry the parent's file list forward plus the
-    * new files (fetch_log / metrics lineage accumulate this way without
-    * rewriting history). Tables named in `partitionedBy` are written with
-    * hive-style partition dirs so predicates on the partition column prune
-    * whole directories at read time (e.g. frontier by `state`: the
-    * scheduler's state='pending' scan never touches fetched/failed files).
+    * new files (metrics / fetch lineage accumulate this way without
+    * rewriting history); `appendPaths` appends directories the caller
+    * already wrote (see [[stagingDir]]); `drop` removes a table's lineage
+    * from the manifest entirely (compaction folds an append-table's
+    * content into a replace-table and drops the log). Parent tables not
+    * named by any of these carry forward unchanged — a commit pays I/O
+    * only for what it touches. Tables named in `partitionedBy` are written
+    * with hive-style partition dirs so predicates on the partition column
+    * prune whole directories at read time (e.g. the frontier by `state`:
+    * the scheduler's state='pending' scan never touches fetched/failed
+    * files).
     */
   def commit(epoch: Long, replace: Map[String, DataFrame],
       append: Map[String, DataFrame], counters: Map[String, Long],
-      partitionedBy: Map[String, String] = Map.empty): Manifest = {
+      partitionedBy: Map[String, String] = Map.empty,
+      appendPaths: Map[String, Seq[String]] = Map.empty,
+      drop: Set[String] = Set.empty): Manifest = {
     val parent = latest()
     val v = parent.map(_.version + 1).getOrElse(0L)
 
@@ -99,12 +119,15 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
     }
 
     val replaced = replace.map { case (t, df) => t -> Seq(write(t, df)) }
-    val appended = append.map { case (t, df) =>
-      val prev = parent.flatMap(_.tables.get(t)).getOrElse(Seq.empty)
-      t -> (prev :+ write(t, df))
-    }
+    def prevOf(t: String): Seq[String] =
+      parent.flatMap(_.tables.get(t)).getOrElse(Seq.empty)
+    val appended = append.map { case (t, df) => t -> (prevOf(t) :+ write(t, df)) } ++
+      appendPaths.map { case (t, dirs) => t -> (prevOf(t) ++ dirs) }
+    val touched = replace.keySet ++ append.keySet ++ appendPaths.keySet ++ drop
+    val carried = parent.map(_.tables).getOrElse(Map.empty)
+      .filter { case (t, _) => !touched.contains(t) }
     val m = Manifest(v, parent.map(_.version).getOrElse(-1L), epoch,
-      replaced ++ appended, counters)
+      carried ++ replaced ++ appended, counters)
 
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", m.version)
@@ -202,17 +225,47 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
     * the scan-cost win lost). Once dropped+folded the files are referenced
     * by nothing, so the delete is safe.
     *
-    * Crash-safe without coordination because `seen` is a SET under
-    * anti-join semantics: a crash after the fold but before (or midway
-    * through) the drop/delete loop leaves duplicate rows across
-    * partitions, which changes no anti-join result and is cleaned by the
-    * next compaction pass.
+    * Crash safety (additive fold — never an in-place overwrite): the fold
+    * is APPENDED into epoch=0 as new files; the pre-existing epoch=0 files
+    * are deleted only after the append job has committed, and every other
+    * source partition only after that. So every delete removes rows that
+    * already exist in durable fold files, and a crash at ANY step leaves
+    * only benign duplicate rows (seen is a SET under anti-join semantics;
+    * the next compaction pass removes them) — never a lost URL. An earlier
+    * formulation dynamic-partition-OVERWROTE epoch=0 in place, where a
+    * crash mid-commit could drop previously-seen URLs (they would re-enter
+    * the frontier). Residual window: like every Spark output commit on a
+    * non-transactional filesystem, a whole-MACHINE crash can lose fold
+    * bytes the OS had not yet flushed while the subsequent deletes
+    * survived — on local/HDFS deployments the ordering is preserved by the
+    * commit-then-delete sequencing above; object stores need the real
+    * Iceberg catalog this store stands in for (constraint C1).
     */
   def compactSeen(upTo: Long): Unit = {
     ensureSeenTable()
     val staged = new HPath(root, s"data/seen_compact_v$upTo").toString
+    // stage the distinct fold OUTSIDE the table first: the fold reads the
+    // very table it will append into, and staging breaks the read-write
+    // cycle before any table mutation starts
     readSeen(upTo).distinct().write.mode("overwrite").parquet(staged)
-    appendSeen(spark.read.parquet(staged), 0L)
+    val e0 = new HPath(new HPath(seenLocation), "epoch=0")
+    val oldE0Files: Seq[HPath] =
+      if (fc.util.exists(e0))
+        fc.util.listStatus(e0).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      else Seq.empty
+    // additive append (mode=append, NOT the dynamic-overwrite appendSeen
+    // path): new fold files land beside the old epoch=0 files with
+    // job-unique names, so nothing is replaced until the job has committed
+    spark.read.parquet(staged)
+      .select(org.apache.spark.sql.functions.col("canon_url"),
+        org.apache.spark.sql.functions.lit(0L).as("epoch"))
+      .write.mode("append")
+      .insertInto(seenTable)
+    // the fold is durable and covers all of [0, upTo]: now retire sources
+    oldE0Files.foreach(f => fc.delete(f, false))
     // drop only partitions that actually exist: iterating 1..upTo would
     // re-issue an ALTER TABLE + delete per ALREADY-folded epoch on every
     // pass — O(epochs²) cumulative driver round-trips over a long crawl

@@ -16,6 +16,17 @@ import graft.operators.{Bloom, Extract, Sched, Seen}
   * outbound URLs, drop seen ones (Bloom prefilter + exact anti-join), and
   * commit frontier/seen/lineage/metrics as one atomic snapshot. Every epoch
   * is resumable: state lives only in the snapshot store.
+  *
+  * Per-epoch I/O is O(batch), never O(crawl): the seen set appends one
+  * epoch partition + Bloom segment per epoch (log-compacted by
+  * compactSeen), and the frontier appends state-transition deltas resolved
+  * merge-on-read ([[FrontierLog]]) — nothing rewrites a crawl-sized table
+  * inside an epoch. The epoch's fetch output is written ONCE (the
+  * fetch_result table, durable before any consumer runs) and re-read
+  * column-pruned by each consumer instead of pinning a cached copy of the
+  * span corpus in executor memory — at a 100x batch the corpus doesn't fit
+  * memory, and parquet column pruning means the counters/transitions reads
+  * never touch the span bytes at all.
   */
 final class EpochDriver(
     spark: SparkSession,
@@ -37,6 +48,11 @@ final class EpochDriver(
     // file-count/scan-cost optimization — set semantics are unchanged, so
     // it is NOT part of the resume-guarded config
     compactSeenEvery: Int = 0,
+    // fold frontier_base + frontier_delta into a fresh base every N epochs
+    // (0 = off): bounds the delta log the merge-on-read view scans, exactly
+    // as compactSeen bounds the seen partitions. View-identical, so also
+    // not resume-guarded
+    compactFrontierEvery: Int = 0,
     // K1/K2 external sink (file-backed stand-in for the reference's Kafka
     // REST bridge): per-epoch fresh records batch-emitted from the
     // executors, plus one job-control completion message per epoch.
@@ -65,17 +81,19 @@ final class EpochDriver(
     "cfg_max_retries" -> maxRetries.toLong,
     "cfg_bloom_segments" -> bloomSegments.toLong,
     "cfg_bloom_bits" -> bloomBitsPerSegment.toLong,
-    "cfg_bloom_hash_version" -> Bloom.HashVersion)
+    "cfg_bloom_hash_version" -> Bloom.HashVersion,
+    "cfg_store_layout" -> EpochDriver.StoreLayoutVersion)
 
   /** Guard keys added after stores already existed: a manifest missing the
     * key is treated as having the value the code shipped with before the
     * key was introduced, so a semantic change older than its guard key
     * still refuses to resume instead of silently corrupting (a v1-hashed
     * seen_bloom probed with v2 hashes returns false negatives — seen URLs
-    * would re-enter the frontier as fresh).
+    * would re-enter the frontier as fresh; a layout-1 store has no
+    * frontier_base/fetch_result tables to read).
     */
   private val cfgLegacyDefaults: Map[String, Long] =
-    Map("cfg_bloom_hash_version" -> 1L)
+    Map("cfg_bloom_hash_version" -> 1L, "cfg_store_layout" -> 1L)
 
   private def requireCfgMatch(counters: Map[String, Long]): Unit =
     cfg.foreach { case (k, v) =>
@@ -95,7 +113,7 @@ final class EpochDriver(
       .select(col("canon_url"), col("host"),
         lit(0).as("depth"), lit(1.0).as("score"),
         lit("pending").as("state"), lit(0).as("retry_count"),
-        lit(0L).as("discovered_epoch"))
+        lit(0L).as("discovered_epoch"), lit(0L).as("seq"))
     val seen = frontier.select("canon_url")
     // bucketed seen append is idempotent per epoch (dynamic partition
     // overwrite), so writing it before the manifest commit preserves
@@ -103,12 +121,22 @@ final class EpochDriver(
     // both invisible to readers (epoch gate) and overwritten on re-run
     store.appendSeen(seen, 0L)
     store.commit(0L,
-      replace = Map("frontier" -> frontier),
+      replace = Map("frontier_base" -> frontier),
       append = Map(
         "seen_bloom" -> Bloom.buildSegments(seen, "canon_url", bloomSegments, bloomBitsPerSegment)),
       counters = cfg + ("seeds" -> frontier.count()),
-      partitionedBy = Map("frontier" -> "state"))
+      partitionedBy = Map("frontier_base" -> "state"))
     ()
+  }
+
+  /** base ∪ delta rows (unresolved) as of manifest `m`. */
+  private def frontierAll(m: store.Manifest): DataFrame = {
+    val base = store.readTable(m, "frontier_base")
+      .getOrElse(sys.error("store has no frontier_base"))
+    store.readTable(m, "frontier_delta") match {
+      case Some(d) => base.unionByName(d)
+      case None => base
+    }
   }
 
   /** Run one epoch on top of the latest snapshot; returns epoch metrics. */
@@ -116,140 +144,192 @@ final class EpochDriver(
     val m = store.latest().getOrElse(sys.error("store not initialized"))
     requireCfgMatch(m.counters)
     val epoch = m.epoch + 1
-    val frontier = store.readTable(m, "frontier").get
     // bucketed scan: the (huge, append-only) seen side of the anti-join
     // arrives pre-partitioned by hash(canon_url) — no big-side Exchange
     val seen = store.readSeen(m.epoch)
 
-    // ---- schedule: W2 rank + T4 budget over the pending frontier
-    val pending = frontier.filter(col("state") === "pending")
-      .join(broadcast(robots.select("host", "crawl_delay_ms")), Seq("host"), "left")
-      .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
-    val ranked = Sched.rankAndBudget(pending, epochBudgetMs)
-    val batch = Sched.fetchBatch(ranked, epoch, saltBuckets,
-      spark.sparkContext.defaultParallelism)
+    // epoch-scale caches + the Bloom broadcast, released in the finally
+    // block so a failed commit (retried by the caller) cannot leak them
+    var candDepthC: Option[DataFrame] = None
+    var freshC: Option[DataFrame] = None
+    var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
+      graft.operators.SegmentedBloom]] = None
+    try {
+      // ---- schedule: W2 rank + T4 budget over the merged pending view
+      val pending = FrontierLog.pending(
+          store.readTable(m, "frontier_base").get,
+          store.readTable(m, "frontier_delta"))
+        .join(broadcast(robots.select("host", "crawl_delay_ms")), Seq("host"), "left")
+        .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
+      // the pre-cut bound is exact: every delay in this engine is >= the
+      // robots floor (robotsFor + defaultDelayMs are both >= MinCrawlDelayMs)
+      val ranked = Sched.rankAndBudget(pending, epochBudgetMs,
+        Sched.MinCrawlDelayMs)
+      val batch = Sched.fetchBatch(ranked, epoch, saltBuckets,
+        spark.sparkContext.defaultParallelism)
 
-    // ---- fetch (S1) — salted partitions, partition-local lineage
-    val fetched = FetchSim.run(batch, seed, nHosts).cache()
-    val okDocs = fetched.filter(_.status == "ok")
-      .map(f => (f.canon_url, f.depth, f.spans)).toDF("doc_id", "depth", "spans")
+      // ---- fetch (S1) — salted partitions, partition-local lineage. The
+      // full fetch output is made durable FIRST (the dir this commit will
+      // reference; a crash re-runs the deterministic fetch over the same
+      // batch into the same dir), then every consumer reads it
+      // column-pruned — transitions/counters never deserialize the spans
+      val fetchDir = store.stagingDir("fetch_result")
+      val fetchedDs = FetchSim.run(batch, seed, nHosts).toDF()
+      val fetchSchema = fetchedDs.schema
+      fetchedDs.write.mode("overwrite").parquet(fetchDir)
+      val fetched = spark.read.schema(fetchSchema).parquet(fetchDir)
+      val okDocs = fetched.filter(col("status") === "ok")
+        .select(col("canon_url").as("doc_id"), col("depth"), col("spans"))
 
-    // ---- extract (S2/D2) + canon (X14) + robots filter (J3/F3)
-    val cand = Extract.canonCandidates(okDocs.select("doc_id", "spans"))
-    val candAllowed = Sched.allowed(cand, robots, defaultDelayMs)
-      .select("canon_url", "host", "src_doc")
-    val candDepth = candAllowed
-      .join(okDocs.select(col("doc_id").as("src_doc"), col("depth")), Seq("src_doc"))
-      .groupBy("canon_url", "host")
-      .agg((min("depth") + 1).cast("int").as("depth"))
-      .cache()
-    val nDiscovered = candDepth.count()
+      // ---- extract (S2/D2) + canon (X14) + robots filter (J3/F3)
+      val cand = Extract.canonCandidates(okDocs.select("doc_id", "spans"))
+      val candAllowed = Sched.allowed(cand, robots, defaultDelayMs)
+        .select("canon_url", "host", "src_doc")
+      val candDepth = candAllowed
+        .join(okDocs.select(col("doc_id").as("src_doc"), col("depth")), Seq("src_doc"))
+        .groupBy("canon_url", "host")
+        .agg((min("depth") + 1).cast("int").as("depth"))
+        .cache()
+      candDepthC = Some(candDepth)
+      val nDiscovered = candDepth.count()
 
-    // ---- dedup vs seen: Bloom prefilter (D3) + exact anti-join (J2).
-    // Segment merge runs on the executors (one final blob per segment
-    // reaches the driver); the broadcast handle is destroyed at the end of
-    // the epoch so filter blobs never accumulate across epochs
-    val segTable = if (useBloom) store.readTable(m, "seen_bloom") else None
-    val bloomBc =
-      if (bloomRouted) None
-      else segTable.map(df =>
-        Seen.broadcastSegments(spark,
-          Bloom.mergedSegments(df, bloomSegments, bloomBitsPerSegment)))
-    val fresh = (if (bloomRouted && segTable.isDefined)
-        Seen.filterUnseenRouted(candDepth, "canon_url", seen,
-          segTable.get, bloomSegments)
-      else Seen.filterUnseen(candDepth, "canon_url", seen, bloomBc))
-      .withColumn("score", lit(1.0) / (lit(1.0) + col("depth")))
-      .withColumn("state", lit("pending"))
-      .withColumn("retry_count", lit(0))
-      .withColumn("discovered_epoch", lit(epoch))
-      .select("canon_url", "host", "depth", "score", "state", "retry_count",
-        "discovered_epoch")
-      .cache()
+      // ---- dedup vs seen: Bloom prefilter (D3) + exact anti-join (J2).
+      // Segment merge runs on the executors (one final blob per segment
+      // reaches the driver); the broadcast handle is destroyed in the
+      // finally block so filter blobs never accumulate across epochs
+      val segTable = if (useBloom) store.readTable(m, "seen_bloom") else None
+      bloomBc =
+        if (bloomRouted) None
+        else segTable.map(df =>
+          Seen.broadcastSegments(spark,
+            Bloom.mergedSegments(df, bloomSegments, bloomBitsPerSegment)))
+      val fresh = (if (bloomRouted && segTable.isDefined)
+          Seen.filterUnseenRouted(candDepth, "canon_url", seen,
+            segTable.get, bloomSegments)
+        else Seen.filterUnseen(candDepth, "canon_url", seen, bloomBc))
+        .withColumn("score", lit(1.0) / (lit(1.0) + col("depth")))
+        .withColumn("state", lit("pending"))
+        .withColumn("retry_count", lit(0))
+        .withColumn("discovered_epoch", lit(epoch))
+        .select("canon_url", "host", "depth", "score", "state", "retry_count",
+          "discovered_epoch")
+        .cache()
+      freshC = Some(fresh)
 
-    // ---- frontier transition: fetched ok → fetched; error → retry w/ score
-    // decay, dead at maxRetries (T5/T7)
-    val outcome = fetched.map(f => (f.canon_url, f.status))
-      .toDF("canon_url", "_status")
-    val updated = frontier
-      .join(outcome, Seq("canon_url"), "left")
-      .withColumn("state",
-        when(col("_status") === "ok", lit("fetched"))
-          .when(col("_status") === "error" && col("retry_count") + 1 >= maxRetries,
-            lit("failed"))
-          .otherwise(col("state")))
-      .withColumn("score",
-        when(col("_status") === "error" && col("retry_count") + 1 < maxRetries,
-          col("score") * 0.5).otherwise(col("score")))
-      .withColumn("retry_count",
-        when(col("_status") === "error", col("retry_count") + 1)
-          .otherwise(col("retry_count")))
-      .drop("_status")
-    val newFrontier = updated.unionByName(fresh)
+      // ---- frontier delta: ONLY the scheduled rows transition (fetched ok
+      // → fetched; error → retry w/ score decay, dead at maxRetries —
+      // T5/T7); everything else rests untouched in base/older deltas. The
+      // inner join is batch-sized on both sides: the per-epoch frontier
+      // write is O(batch + fresh), never O(frontier)
+      val outcome = fetched.select(col("canon_url"), col("status").as("_status"))
+      val transitions = ranked
+        .select("canon_url", "host", "depth", "score", "state", "retry_count",
+          "discovered_epoch")
+        .join(outcome, Seq("canon_url"))
+        .withColumn("state",
+          when(col("_status") === "ok", lit("fetched"))
+            .when(col("_status") === "error" && col("retry_count") + 1 >= maxRetries,
+              lit("failed"))
+            .otherwise(col("state")))
+        .withColumn("score",
+          when(col("_status") === "error" && col("retry_count") + 1 < maxRetries,
+            col("score") * 0.5).otherwise(col("score")))
+        .withColumn("retry_count",
+          when(col("_status") === "error", col("retry_count") + 1)
+            .otherwise(col("retry_count")))
+        .drop("_status")
+      val statusCounts = fetched.groupBy("status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nFetched = statusCounts.getOrElse("ok", 0L)
+      val nErrors = statusCounts.getOrElse("error", 0L)
+      val nEmitted = fresh.count()
+      val counters = Map(
+        "epoch" -> epoch,
+        "fetched" -> nFetched,
+        "errors" -> nErrors,
+        "discovered" -> nDiscovered,
+        "deduped" -> (nDiscovered - nEmitted),
+        "emitted" -> nEmitted)
 
-    val fetchLog = fetched.toDF()
-      .select(col("epoch"), col("partition_id"), col("canon_url"), col("host"),
-        col("rank"), col("status"), col("n_spans"), col("n_urls_out"))
+      val metricsDf = Seq((epoch, nFetched, nErrors, nDiscovered,
+        nDiscovered - nEmitted, nEmitted))
+        .toDF("epoch", "fetched", "errors", "discovered", "deduped", "emitted")
 
-    val statusCounts = fetched.toDF().groupBy("status").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nFetched = statusCounts.getOrElse("ok", 0L)
-    val nErrors = statusCounts.getOrElse("error", 0L)
-    val nEmitted = fresh.count()
-    val counters = Map(
-      "epoch" -> epoch,
-      "fetched" -> nFetched,
-      "errors" -> nErrors,
-      "discovered" -> nDiscovered,
-      "deduped" -> (nDiscovered - nEmitted),
-      "emitted" -> nEmitted)
+      // ---- K1 record sink + K2 job-control message (kafka_producer.py
+      // send_crawling_completion semantics: count==0 ⇒ fail with reason, no
+      // wall clock — completed_at is virtual epoch time in KST)
+      sinkDir.foreach { d =>
+        graft.sinks.RecordSink.emit(
+          fresh.withColumn("epoch", lit(epoch)), "canon_url",
+          s"$d/frontier-records", tag = s"e$epoch")
+        val completedAt = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+          .plusMinutes(epoch).atOffset(java.time.ZoneOffset.ofHours(9))
+          .format(java.time.format.DateTimeFormatter.ofPattern(
+            "yyyy-MM-dd'T'HH:mm:ssxxx"))
+        val control = Seq((s"epoch_$epoch",
+          if (nEmitted > 0) "done" else "fail",
+          "collection",
+          if (nEmitted > 0) null else "review count 0",
+          nEmitted, completedAt))
+          .toDF("job_id", "status", "step", "failure_reason",
+            "expected_count", "completed_at")
+        graft.sinks.RecordSink.emit(control, "job_id", s"$d/job-control",
+          tag = s"e$epoch")
+      }
 
-    val metricsDf = Seq((epoch, nFetched, nErrors, nDiscovered,
-      nDiscovered - nEmitted, nEmitted))
-      .toDF("epoch", "fetched", "errors", "discovered", "deduped", "emitted")
-
-    // ---- K1 record sink + K2 job-control message (kafka_producer.py
-    // send_crawling_completion semantics: count==0 ⇒ fail with reason, no
-    // wall clock — completed_at is virtual epoch time in KST)
-    sinkDir.foreach { d =>
-      graft.sinks.RecordSink.emit(
-        fresh.withColumn("epoch", lit(epoch)), "canon_url",
-        s"$d/frontier-records", tag = s"e$epoch")
-      val completedAt = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
-        .plusMinutes(epoch).atOffset(java.time.ZoneOffset.ofHours(9))
-        .format(java.time.format.DateTimeFormatter.ofPattern(
-          "yyyy-MM-dd'T'HH:mm:ssxxx"))
-      val control = Seq((s"epoch_$epoch",
-        if (nEmitted > 0) "done" else "fail",
-        "collection",
-        if (nEmitted > 0) null else "review count 0",
-        nEmitted, completedAt))
-        .toDF("job_id", "status", "step", "failure_reason",
-          "expected_count", "completed_at")
-      graft.sinks.RecordSink.emit(control, "job_id", s"$d/job-control",
-        tag = s"e$epoch")
-    }
-
-    // seen + its Bloom segments are append-only: each epoch contributes only
-    // its fresh URLs; seen goes to the bucketed table (epoch-partitioned,
-    // idempotent overwrite — see SnapshotStore), Bloom readers OR-merge
-    // segments (at 10^10 scale this is the log-structured write path;
-    // compaction folds old epochs/segments periodically, compactSeenEvery)
-    store.appendSeen(fresh.select("canon_url"), epoch)
-    store.commit(epoch,
-      replace = Map("frontier" -> newFrontier),
-      append = Map(
+      // seen + its Bloom segments are append-only: each epoch contributes
+      // only its fresh URLs; seen goes to the bucketed table
+      // (epoch-partitioned, idempotent overwrite — see SnapshotStore),
+      // Bloom readers OR-merge segments. The frontier delta appends the
+      // same way; a compaction epoch folds base+deltas into a fresh base
+      // and drops the log (merge-on-read view identical either way)
+      store.appendSeen(fresh.select("canon_url"), epoch)
+      val appendTables = Map(
         "seen_bloom" -> Bloom.buildSegments(fresh.select("canon_url"),
           "canon_url", bloomSegments, bloomBitsPerSegment),
-        "docs" -> okDocs, // the crawled interleaved-span corpus itself
-        "fetch_log" -> fetchLog, "metrics" -> metricsDf),
-      counters = cfg ++ counters,
-      partitionedBy = Map("frontier" -> "state"))
-    if (compactSeenEvery > 0 && epoch % compactSeenEvery == 0)
-      store.compactSeen(epoch)
-    fetched.unpersist(); candDepth.unpersist(); fresh.unpersist()
-    bloomBc.foreach(_.destroy())
-    counters
+        "metrics" -> metricsDf)
+      // delta file sizing tracks the DELTA's row count (~1M rows/file,
+      // capped at the session parallelism), so a small epoch writes one
+      // file instead of one near-empty file per shuffle partition — the
+      // committed bytes scale with the batch, not with file-count
+      // constants (FrontierLogSpec pins the byte ratio). Deltas are plain
+      // parquet (state as a data column): appended dirs are read as one
+      // multi-root table, where hive-style partition inference would
+      // reject the multiple roots
+      val deltaRows = nFetched + nErrors + nEmitted
+      val deltaDf = transitions.unionByName(fresh)
+        .withColumn("seq", lit(epoch))
+        .repartition(math.max(1L, math.min(deltaRows / 1000000L + 1,
+          spark.sparkContext.defaultParallelism.toLong)).toInt)
+      val emptyDelta = deltaRows == 0
+      if (compactFrontierEvery > 0 && epoch % compactFrontierEvery == 0) {
+        val folded = FrontierLog.resolve(
+          if (emptyDelta) frontierAll(m) else frontierAll(m).unionByName(deltaDf))
+        store.commit(epoch,
+          replace = Map("frontier_base" -> folded),
+          append = appendTables,
+          counters = cfg ++ counters,
+          partitionedBy = Map("frontier_base" -> "state"),
+          appendPaths = Map("fetch_result" -> Seq(fetchDir)),
+          drop = Set("frontier_delta"))
+      } else {
+        // an all-empty epoch appends no delta: an empty parquet dir at the
+        // head of the delta list would break schema inference on read
+        store.commit(epoch,
+          replace = Map.empty,
+          append = if (emptyDelta) appendTables
+            else appendTables + ("frontier_delta" -> deltaDf),
+          counters = cfg ++ counters,
+          appendPaths = Map("fetch_result" -> Seq(fetchDir)))
+      }
+      if (compactSeenEvery > 0 && epoch % compactSeenEvery == 0)
+        store.compactSeen(epoch)
+      counters
+    } finally {
+      candDepthC.foreach(_.unpersist())
+      freshC.foreach(_.unpersist())
+      bloomBc.foreach(_.destroy())
+    }
   }
 
   /** Run epochs until `maxEpochs` or an empty batch (exhausted frontier). */
@@ -266,15 +346,29 @@ final class EpochDriver(
     out.toSeq
   }
 
-  // ---- readers used by tests/metrics
+  // ---- readers used by tests/metrics (merge-on-read views)
   def frontier(): DataFrame =
-    store.latest().flatMap(m => store.readTable(m, "frontier")).get
+    FrontierLog.resolve(frontierAll(store.latest().get)).drop("seq")
   def seenSet(): DataFrame =
     store.latest().map(m => store.readSeen(m.epoch)).get
   def fetchLog(): Option[DataFrame] =
-    store.latest().flatMap(m => store.readTable(m, "fetch_log"))
+    store.latest().flatMap(m => store.readTable(m, "fetch_result"))
+      .map(_.select("epoch", "partition_id", "canon_url", "host", "rank",
+        "status", "n_spans", "n_urls_out"))
   def metrics(): Option[DataFrame] =
     store.latest().flatMap(m => store.readTable(m, "metrics"))
   def docs(): Option[DataFrame] =
-    store.latest().flatMap(m => store.readTable(m, "docs"))
+    store.latest().flatMap(m => store.readTable(m, "fetch_result"))
+      .map(_.filter(col("status") === "ok")
+        .select(col("canon_url").as("doc_id"), col("depth"), col("spans")))
+}
+
+object EpochDriver {
+  /** Version of the snapshot-store table layout. v1 = monolithic frontier
+    * replaced per epoch + separate docs/fetch_log appends; v2 =
+    * log-structured frontier (frontier_base + frontier_delta, FrontierLog)
+    * + single fetch_result lineage table. A v1 store has no
+    * frontier_base/fetch_result to read, so resume must refuse loudly.
+    */
+  val StoreLayoutVersion = 2L
 }

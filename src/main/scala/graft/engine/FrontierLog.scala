@@ -1,0 +1,68 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Log-structured frontier (round-3 verdict item 1 — the engine's last
+  * full-table-rewrite): the frontier is stored as
+  *
+  *   - `frontier_base` — a full materialization, replaced only at init and
+  *     at periodic compaction epochs (state-partitioned, so pending scans
+  *     prune fetched/failed files), plus
+  *   - `frontier_delta` — per-epoch APPENDED state-transition rows (the
+  *     scheduled batch's new states) and fresh inserts, each carrying
+  *     `seq` = the epoch that wrote it.
+  *
+  * A normal epoch therefore commits O(batch + fresh) frontier bytes instead
+  * of rewriting the whole table — at the north rule's 10^10-URL frontier
+  * that is the difference between ~hundreds of GB and ~tens of MB of
+  * parquet I/O per epoch (FrontierLogSpec pins the byte ratio). Reads
+  * resolve merge-on-read: latest row per canon_url by `seq` (transitions
+  * are monotone — pending may repeat through retries, fetched/failed are
+  * absorbing — and one epoch writes at most one row per URL, so `seq` is a
+  * total per-key order). Periodic compaction folds base+deltas into a new
+  * base and drops the log, bounding the delta scan like `compactSeen`
+  * bounds the seen table's epoch partitions.
+  */
+object FrontierLog {
+
+  /** Physical frontier row: the engine's frontier columns plus the
+    * merge-on-read sequence number.
+    */
+  val Cols: Seq[String] = Seq("canon_url", "host", "depth", "score", "state",
+    "retry_count", "discovered_epoch", "seq")
+
+  /** Latest row per canon_url by seq over any mix of base + delta rows.
+    * One shuffle on the scalar key; the payload rides inside a struct.
+    */
+  def resolve(all: DataFrame): DataFrame = {
+    val payload = Cols.filterNot(_ == "canon_url")
+    all.groupBy("canon_url")
+      .agg(max_by(struct(payload.map(col): _*), col("seq")).as("_r"))
+      .select(col("canon_url") +: payload.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
+  /** The pending slice of the merged view WITHOUT resolving the whole
+    * frontier: fetched/failed are absorbing states, so
+    *
+    *   pending = latest(pending rows of base ∪ delta)
+    *             anti-join (canon_urls with any terminal delta row)
+    *
+    * The base side is partition-pruned to its pending files; only
+    * pending-state rows ride the resolve shuffle; the terminal-key
+    * anti-join probes a batch-per-epoch-sized, compaction-bounded set.
+    * Equals `resolve(base ∪ delta).filter(state = pending)` exactly
+    * (FrontierLogSpec pins the equivalence).
+    */
+  def pending(base: DataFrame, delta: Option[DataFrame]): DataFrame =
+    delta match {
+      case None => base.filter(col("state") === "pending").drop("seq")
+      case Some(d) =>
+        val pend = base.filter(col("state") === "pending")
+          .unionByName(d.filter(col("state") === "pending"))
+        val terminal = d.filter(col("state") =!= "pending").select("canon_url")
+        resolve(pend)
+          .join(terminal, Seq("canon_url"), "left_anti")
+          .drop("seq")
+    }
+}

@@ -81,7 +81,14 @@ class EngineSpec extends SparkSpecBase {
     val d2 = newDriver(tmpDir(), useBloom = false)
     val d3 = newDriver(tmpDir(), bloomRouted = true)
     d1.init(seeds); d2.init(seeds); d3.init(seeds)
-    (1 to 2).foreach { _ => d1.runEpoch(); d2.runEpoch(); d3.runEpoch() }
+    // multi-epoch, per-epoch counters byte-identical across all three
+    // execution strategies (the routed path is what Crawl's
+    // SPARK_GRAFT_BLOOM_ROUTED=1 runs end-to-end)
+    (1 to 2).foreach { _ =>
+      val m1 = d1.runEpoch(); val m2 = d2.runEpoch(); val m3 = d3.runEpoch()
+      assert(m1 == m2, s"bloom-off counters diverged: $m1 vs $m2")
+      assert(m3 == m2, s"routed counters diverged: $m3 vs $m2")
+    }
     val s1 = d1.seenSet().collect().map(_.getString(0)).toSet
     val s2 = d2.seenSet().collect().map(_.getString(0)).toSet
     val s3 = d3.seenSet().collect().map(_.getString(0)).toSet
@@ -215,6 +222,16 @@ class EngineSpec extends SparkSpecBase {
       assert(r.getString(1) == "done" && r.getString(2) == "collection")
     }
     assert(ctl.map(r => r.getString(3).toLong).sum == ms.map(_("emitted")).sum)
+
+    // orphan batch files (a retried stage that ran with a different
+    // partition count leaves stale batch-*.json behind) are not manifest-
+    // listed and must never be read back as duplicate records
+    val before = rec.count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$sink/frontier-records/batch-e1-p9999-0.json"),
+      """{"records":[{"key":"orphan","value":{"canon_url":"https://x/"}}]}""")
+    assert(graft.sinks.RecordSink.readTopic(spark, s"$sink/frontier-records")
+      .count() == before, "orphan batch file was read back as records")
   }
 
   test("uncommitted garbage in the store is ignored on resume") {
