@@ -150,6 +150,7 @@ final class EpochDriver(
 
     // epoch-scale caches + the Bloom broadcast, released in the finally
     // block so a failed commit (retried by the caller) cannot leak them
+    var rankedC: Option[DataFrame] = None
     var candDepthC: Option[DataFrame] = None
     var freshC: Option[DataFrame] = None
     var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
@@ -163,8 +164,13 @@ final class EpochDriver(
         .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
       // the pre-cut bound is exact: every delay in this engine is >= the
       // robots floor (robotsFor + defaultDelayMs are both >= MinCrawlDelayMs)
+      // cached: ranked is BATCH-sized after the budget cut, and both the
+      // fetch path and the frontier transitions consume it — without the
+      // cache the second consumer recomputes the full pending-frontier
+      // scan + window (a second O(frontier) pass per epoch)
       val ranked = Sched.rankAndBudget(pending, epochBudgetMs,
-        Sched.MinCrawlDelayMs)
+        Sched.MinCrawlDelayMs).cache()
+      rankedC = Some(ranked)
       val batch = Sched.fetchBatch(ranked, epoch, saltBuckets,
         spark.sparkContext.defaultParallelism)
 
@@ -326,6 +332,7 @@ final class EpochDriver(
         store.compactSeen(epoch)
       counters
     } finally {
+      rankedC.foreach(_.unpersist())
       candDepthC.foreach(_.unpersist())
       freshC.foreach(_.unpersist())
       bloomBc.foreach(_.destroy())

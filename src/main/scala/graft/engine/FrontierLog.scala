@@ -42,27 +42,47 @@ object FrontierLog {
       .select(col("canon_url") +: payload.map(c => col(s"_r.$c").as(c)): _*)
   }
 
-  /** The pending slice of the merged view WITHOUT resolving the whole
-    * frontier: fetched/failed are absorbing states, so
+  /** The pending slice of the merged view WITHOUT shuffling the frontier.
     *
-    *   pending = latest(pending rows of base ∪ delta)
-    *             anti-join (canon_urls with any terminal delta row)
+    * Two facts make this cheap:
+    *  - the base is a RESOLVED materialization (init/compaction write at
+    *    most one row per canon_url), so base rows never contend with each
+    *    other — only with delta rows;
+    *  - every delta row supersedes the base row of the same key outright:
+    *    a key's base `seq` is at most the fold epoch, and every delta
+    *    appended after that fold carries `seq` = a later epoch.
     *
-    * The base side is partition-pruned to its pending files; only
-    * pending-state rows ride the resolve shuffle; the terminal-key
-    * anti-join probes a batch-per-epoch-sized, compaction-bounded set.
-    * Equals `resolve(base ∪ delta).filter(state = pending)` exactly
-    * (FrontierLogSpec pins the equivalence).
+    * So:
+    *
+    *   pending = (base pending rows  ANTI-JOIN  all delta keys)
+    *           ∪ (delta-internal latest pending  ANTI-JOIN  terminal delta keys)
+    *
+    * The base side is partition-pruned to its pending files and reaches
+    * the scheduler with NO exchange: the anti-join's probe set (distinct
+    * delta keys) is compaction-bounded — O(batch × compaction cadence)
+    * rows, an engine knob — so Spark broadcasts it (FrontierLogSpec pins
+    * the BroadcastHashJoin LeftAnti shape; at a geometry where even that
+    * key set outgrows a broadcast, the documented path is the segmented
+    * Bloom routing the seen table already uses: broadcast the segment
+    * filters, exact-check only bloom-positive base rows, which are
+    * ~|delta| + the false-positive sliver). Everything that DOES shuffle
+    * here — the delta-internal resolve and the two distincts — is
+    * delta-sized, never frontier-sized. Equals
+    * `resolve(base ∪ delta).filter(state = pending)` exactly
+    * (FrontierLogSpec pins the equivalence on mixed histories).
     */
   def pending(base: DataFrame, delta: Option[DataFrame]): DataFrame =
     delta match {
       case None => base.filter(col("state") === "pending").drop("seq")
       case Some(d) =>
-        val pend = base.filter(col("state") === "pending")
-          .unionByName(d.filter(col("state") === "pending"))
-        val terminal = d.filter(col("state") =!= "pending").select("canon_url")
-        resolve(pend)
-          .join(terminal, Seq("canon_url"), "left_anti")
+        val dKeys = d.select("canon_url").distinct()
+        val dTerminal = d.filter(col("state") =!= "pending")
+          .select("canon_url").distinct()
+        val dPending = resolve(d.filter(col("state") === "pending"))
+          .join(dTerminal, Seq("canon_url"), "left_anti")
+        base.filter(col("state") === "pending")
+          .join(dKeys, Seq("canon_url"), "left_anti")
+          .unionByName(dPending)
           .drop("seq")
     }
 }

@@ -94,6 +94,32 @@ class FrontierLogSpec extends SparkSpecBase {
     assert(fast.exists(r => r.head == "u:retried" && r(5) == 2))
   }
 
+  test("pending view never shuffles the base: broadcast anti-join, no sort-merge") {
+    import spark.implicits._
+    // parquet-backed sides so the plan reflects the engine's real reads
+    // (size-estimated scans, AQE join selection)
+    val dir = tmpDir()
+    val base = (0 until 20000).map(i =>
+      (s"https://h${i % 50}.example.com/p/$i", s"h${i % 50}.example.com",
+        i % 4, 1.0, if (i % 10 == 0) "fetched" else "pending", 0, 0L, 0L))
+      .toDF(FrontierLog.Cols: _*)
+    base.write.parquet(s"$dir/base")
+    val delta = (0 until 300).map(i =>
+      (s"https://h${i % 50}.example.com/p/$i", s"h${i % 50}.example.com",
+        i % 4, 1.0, if (i % 3 == 0) "fetched" else "pending", 1, 0L, 1L))
+      .toDF(FrontierLog.Cols: _*)
+    delta.write.parquet(s"$dir/delta")
+    val pend = FrontierLog.pending(
+      spark.read.parquet(s"$dir/base"),
+      Some(spark.read.parquet(s"$dir/delta")))
+    pend.collect() // materialize so AQE finalizes join strategies
+    val p = pend.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti-join of delta keys against the base:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sort-merge join would shuffle+sort the frontier-sized base side:\n$p")
+  }
+
   test("frontier compaction: identical view + counters, delta log dropped, resumable") {
     val seeds = SimWeb.seedUrls(40, 10, seed)
     val dirC = tmpDir()
