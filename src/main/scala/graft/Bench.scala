@@ -77,7 +77,10 @@ object Bench {
       // a failure in any trial must stay visible as -1, never as a fast min
       QRes(name, if (trials.exists(_ < 0)) -1.0 else trials.min, trials, la0, la1)
     }
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on comma-decimal locales would corrupt the JSON artifact
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.min))
       .mkString("{", ",", "}")
     val trialsJson = results.map(r =>

@@ -117,7 +117,9 @@ object BenchCrawl {
     // best-of-N: external box contention only ever inflates wall time
     val dt = walls.min
     val ups = (nFrontier + freshN) / dt
-    val wallsJson = walls.map(w => f"$w%.2f").mkString("[", ",", "]")
+    val wallsJson = walls.map(w =>
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(w)))
+      .mkString("[", ",", "]")
     println(
       s"""{"metric":"urls_fetched_plus_deduped_per_sec","value":$ups,"unit":"urls/sec","wall_sec":$dt,"walls":$wallsJson,"n_frontier":$nFrontier,"fresh":$freshN,"cpus":$cpus}""")
     spark.stop()

@@ -287,6 +287,49 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
     spark.sql(s"SHOW PARTITIONS $seenTable").count().toInt
   }
 
+  /** Iceberg expire-snapshots analog: physically delete versioned data
+    * directories (`data/<table>/v<K>`) that the LATEST manifest no longer
+    * references. Without this, every `replace` commit (frontier compaction
+    * replaces `frontier_base`) and every `drop` (the folded
+    * `frontier_delta` log) strands its superseded directories on disk
+    * forever — at the north rule's scale one full frontier copy per
+    * compaction cycle. Safety:
+    *  - only dirs with version <= LATEST are candidates, so a staging dir
+    *    the in-flight epoch pre-wrote at version LATEST+1 (see
+    *    [[stagingDir]]) is never touched;
+    *  - matching is by (table, vN) path suffix, immune to
+    *    relative-vs-qualified path spelling differences between manifest
+    *    strings and filesystem listings;
+    *  - the store is single-writer and expire runs between epochs, so no
+    *    live job holds lineage over an expired dir.
+    * After expiry, manifests older than LATEST still exist but may
+    * reference deleted data — time travel to expired versions is gone,
+    * exactly as with Iceberg's expire_snapshots. Returns the number of
+    * directories deleted.
+    */
+  def expireUnreferenced(): Long = latest() match {
+    case None => 0L
+    case Some(m) =>
+      val referenced: Set[(String, String)] = m.tables.values.flatten.map { p =>
+        val hp = new HPath(p); (hp.getParent.getName, hp.getName)
+      }.toSet
+      val dataDir = new HPath(root, "data")
+      if (!fc.util.exists(dataDir)) return 0L
+      var deleted = 0L
+      fc.util.listStatus(dataDir).filter(_.isDirectory).foreach { t =>
+        fc.util.listStatus(t.getPath).filter(_.isDirectory).foreach { vd =>
+          val name = vd.getPath.getName
+          if (name.length > 1 && name.head == 'v' && name.tail.forall(_.isDigit)
+              && name.tail.toLong <= m.version
+              && !referenced.contains((t.getPath.getName, name))) {
+            fc.delete(vd.getPath, true)
+            deleted += 1
+          }
+        }
+      }
+      deleted
+  }
+
   /** Durable write-then-rename: content is flushed AND synced to stable
     * storage before the atomic rename, so a crash can never leave the
     * target pointing at truncated bytes (hsync falls back to hflush where

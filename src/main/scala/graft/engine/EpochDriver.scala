@@ -64,8 +64,21 @@ final class EpochDriver(
   import spark.implicits._
 
   private val defaultDelayMs = 2500L
-  private val robots = Sched.robotsDf(spark,
-    (0 until nHosts).map(graft.gen.SimWeb.hostName), seed)
+  private val robotsRows =
+    Sched.robotsFor((0 until nHosts).map(graft.gen.SimWeb.hostName), seed)
+  private val robots = {
+    import spark.implicits._
+    robotsRows.toDF("host", "crawl_delay_ms", "disallow")
+  }
+  /** Exact floor of every delay the scheduler can see: known hosts carry
+    * their robots delay, unknown hosts coalesce to `defaultDelayMs`. The
+    * per-host window pre-cut in rankAndBudget is exact only for a true
+    * floor, so it is DERIVED from the actual delay sources rather than
+    * trusting the Sched.MinCrawlDelayMs generator constant — retuning
+    * either delay source can never silently starve rows past the cut.
+    */
+  private val minDelayFloorMs: Long = math.min(defaultDelayMs,
+    robotsRows.map(_._2).minOption.getOrElse(defaultDelayMs))
 
   /** Engine parameters that define crawl semantics, persisted into every
     * snapshot manifest and require-matched on resume: re-invoking with
@@ -162,14 +175,12 @@ final class EpochDriver(
           store.readTable(m, "frontier_delta"))
         .join(broadcast(robots.select("host", "crawl_delay_ms")), Seq("host"), "left")
         .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
-      // the pre-cut bound is exact: every delay in this engine is >= the
-      // robots floor (robotsFor + defaultDelayMs are both >= MinCrawlDelayMs)
       // cached: ranked is BATCH-sized after the budget cut, and both the
       // fetch path and the frontier transitions consume it — without the
       // cache the second consumer recomputes the full pending-frontier
       // scan + window (a second O(frontier) pass per epoch)
       val ranked = Sched.rankAndBudget(pending, epochBudgetMs,
-        Sched.MinCrawlDelayMs).cache()
+        minDelayFloorMs).cache()
       rankedC = Some(ranked)
       val batch = Sched.fetchBatch(ranked, epoch, saltBuckets,
         spark.sparkContext.defaultParallelism)
@@ -346,6 +357,10 @@ final class EpochDriver(
     var continue = true
     while (i < maxEpochs && continue) {
       val metrics = runEpoch()
+      // between epochs (no live job holds lineage): reclaim data dirs the
+      // latest manifest no longer references — compaction otherwise
+      // strands one full frontier_base copy per fold on disk forever
+      store.expireUnreferenced()
       out += metrics
       continue = metrics("fetched") + metrics("errors") > 0
       i += 1

@@ -23,7 +23,8 @@ object NearDup {
 
   /** Informative width of the packed simhash: token hashes come from
     * Canon.md5Long (first 15 hex digits of md5 = 60 bits), so vote bits
-    * 60-63 are always negative and never set (QueriesText.SIMHASH_BITS).
+    * 60-63 are always negative and never set. QueriesText.SIMHASH_BITS
+    * (the oracle mirror's geometry) aliases this value.
     */
   val SimhashBits = 60
 

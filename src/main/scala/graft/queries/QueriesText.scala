@@ -253,7 +253,10 @@ object QueriesText {
     * the top block. 60 is md5Long's full informative width — the banding
     * geometry below and Banding.blocksFor both derive from it.
     */
-  val SIMHASH_BITS = 60
+  // single source of truth: the operator owns the width; the DuckDB oracle
+  // CTEs below are generated from this alias, so engine and oracle can
+  // never silently diverge on the hash geometry
+  val SIMHASH_BITS: Int = graft.operators.NearDup.SimhashBits
 
   /** (doc_id, simhash) — the operator's linear explode/groupBy SimHash
     * ([[graft.operators.NearDup.simhash]]) over the documents table.

@@ -147,4 +147,50 @@ class FrontierLogSpec extends SparkSpecBase {
     val m4 = c2.runEpoch()
     assert(m4("epoch") == 4L)
   }
+
+  test("expire reclaims superseded frontier dirs: disk == manifest, view + resume intact") {
+    val dir = tmpDir()
+    val store = new SnapshotStore(dir, spark)
+    val d = new EpochDriver(spark, store, seed, 10, epochBudgetMs = 8000L,
+      compactFrontierEvery = 2)
+    d.init(SimWeb.seedUrls(40, 10, seed))
+    // run() expires between epochs: the epoch-2 fold replaced the init base
+    // (frontier_base/v0) and dropped the folded delta (frontier_delta/v1) —
+    // without expiry both stay on disk forever, one full frontier copy per
+    // compaction cycle at scale
+    d.run(3)
+    val viewBefore = d.frontier().collect().map(_.toSeq).toSet
+    assert(store.expireUnreferenced() == 0L,
+      "run() left unreferenced dirs behind — its between-epoch expire missed them")
+
+    def onDisk(table: String): Set[String] = {
+      val p = java.nio.file.Paths.get(dir, "data", table)
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+    }
+    val m = store.latest().get
+    def referenced(table: String): Set[String] =
+      m.tables.getOrElse(table, Seq.empty)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    for (t <- Seq("frontier_base", "frontier_delta")) {
+      assert(onDisk(t) == referenced(t),
+        s"$t on disk ${onDisk(t)} != manifest ${referenced(t)}")
+    }
+    assert(!onDisk("frontier_base").contains("v0"),
+      "the init-time base superseded by the fold was never reclaimed")
+    // lineage append tables keep their full history
+    assert(onDisk("fetch_result") == referenced("fetch_result"))
+
+    // the reclaim touched nothing live: view identical, resume clean
+    assert(d.frontier().collect().map(_.toSeq).toSet == viewBefore)
+    val d2 = new EpochDriver(spark, new SnapshotStore(dir, spark), seed, 10,
+      epochBudgetMs = 8000L, compactFrontierEvery = 2)
+    assert(d2.runEpoch()("epoch") == 4L)
+  }
 }
