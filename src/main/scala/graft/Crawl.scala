@@ -68,6 +68,11 @@ object Crawl {
       epochBudgetMs = budgetMs, compactSeenEvery = compactEvery,
       compactFrontierEvery = compactEvery,
       bloomRouted = sys.env.get("SPARK_GRAFT_BLOOM_ROUTED").contains("1"),
+      // SPARK_GRAFT_SCHED_HEAD=0 disables the frontier-head fast path
+      // (full pending scan per epoch) — batches are identical either way;
+      // the knob exists for A/B measurement and for geometries where
+      // hosts*K exceeds the pending set (head pays without saving)
+      scheduleFromHead = !sys.env.get("SPARK_GRAFT_SCHED_HEAD").contains("0"),
       sinkDir = sys.env.get("SPARK_GRAFT_SINK_DIR"))
     if (store.latest().isEmpty)
       driver.init(SimWeb.seedUrls(nSeeds, nHosts, seed))

@@ -107,6 +107,7 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
       append: Map[String, DataFrame], counters: Map[String, Long],
       partitionedBy: Map[String, String] = Map.empty,
       appendPaths: Map[String, Seq[String]] = Map.empty,
+      replacePaths: Map[String, Seq[String]] = Map.empty,
       drop: Set[String] = Set.empty): Manifest = {
     val parent = latest()
     val v = parent.map(_.version + 1).getOrElse(0L)
@@ -118,12 +119,18 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
       dir
     }
 
-    val replaced = replace.map { case (t, df) => t -> Seq(write(t, df)) }
+    // replacePaths: like `replace` but for directories the caller already
+    // wrote via [[stagingDir]] — lets a caller materialize a table once and
+    // derive further commit content from the written bytes instead of
+    // recomputing the plan per consumer
+    val replaced = replace.map { case (t, df) => t -> Seq(write(t, df)) } ++
+      replacePaths
     def prevOf(t: String): Seq[String] =
       parent.flatMap(_.tables.get(t)).getOrElse(Seq.empty)
     val appended = append.map { case (t, df) => t -> (prevOf(t) :+ write(t, df)) } ++
       appendPaths.map { case (t, dirs) => t -> (prevOf(t) ++ dirs) }
-    val touched = replace.keySet ++ append.keySet ++ appendPaths.keySet ++ drop
+    val touched = replace.keySet ++ append.keySet ++ appendPaths.keySet ++
+      replacePaths.keySet ++ drop
     val carried = parent.map(_.tables).getOrElse(Map.empty)
       .filter { case (t, _) => !touched.contains(t) }
     val m = Manifest(v, parent.map(_.version).getOrElse(-1L), epoch,

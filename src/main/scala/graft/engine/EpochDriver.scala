@@ -19,9 +19,12 @@ import graft.operators.{Bloom, Extract, Sched, Seen}
   *
   * Per-epoch I/O is O(batch), never O(crawl): the seen set appends one
   * epoch partition + Bloom segment per epoch (log-compacted by
-  * compactSeen), and the frontier appends state-transition deltas resolved
+  * compactSeen), the frontier appends state-transition deltas resolved
   * merge-on-read ([[FrontierLog]]) — nothing rewrites a crawl-sized table
-  * inside an epoch. The epoch's fetch output is written ONCE (the
+  * inside an epoch — and between folds the scheduler READS a materialized
+  * per-host top-K head instead of the pending frontier (batch-exact; see
+  * the head invariant in runEpoch), so a normal epoch neither writes nor
+  * scans the full frontier. The epoch's fetch output is written ONCE (the
   * fetch_result table, durable before any consumer runs) and re-read
   * column-pruned by each consumer instead of pinning a cached copy of the
   * span corpus in executor memory — at a 100x batch the corpus doesn't fit
@@ -53,6 +56,14 @@ final class EpochDriver(
     // as compactSeen bounds the seen partitions. View-identical, so also
     // not resume-guarded
     compactFrontierEvery: Int = 0,
+    // schedule from the materialized frontier HEAD (top-K rows per host,
+    // committed at each fold) instead of scanning the full pending
+    // frontier every epoch. Batch-EXACT, never heuristic — see the head
+    // invariant at the fold commit below — and pure execution strategy
+    // (batches, counters and views are byte-identical either way, pinned
+    // by FrontierLogSpec), so not resume-guarded. Requires folds to
+    // refresh the head; with compactFrontierEvery=0 it never activates
+    scheduleFromHead: Boolean = true,
     // K1/K2 external sink (file-backed stand-in for the reference's Kafka
     // REST bridge): per-epoch fresh records batch-emitted from the
     // executors, plus one job-control completion message per epoch.
@@ -79,6 +90,18 @@ final class EpochDriver(
     */
   private val minDelayFloorMs: Long = math.min(defaultDelayMs,
     robotsRows.map(_._2).minOption.getOrElse(defaultDelayMs))
+
+  /** Per-host upper bound on rows any single epoch can schedule: every
+    * fetch costs >= minDelayFloorMs of the budget. Must mirror
+    * Sched.rankAndBudget's internal cut (same formula, same inputs).
+    */
+  private val cutRows: Long = math.min(
+    epochBudgetMs / math.max(1L, minDelayFloorMs), Int.MaxValue.toLong)
+
+  /** Which source the last runEpoch scheduled from ("head" | "full") —
+    * test/ops visibility for the head fast path.
+    */
+  @volatile private[graft] var lastSchedSource: String = "none"
 
   /** Engine parameters that define crawl semantics, persisted into every
     * snapshot manifest and require-matched on resume: re-invoking with
@@ -169,9 +192,30 @@ final class EpochDriver(
     var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
       graft.operators.SegmentedBloom]] = None
     try {
-      // ---- schedule: W2 rank + T4 budget over the merged pending view
+      // ---- schedule: W2 rank + T4 budget over the merged pending view.
+      // Head fast path: a head of K rows/host built at fold epoch `he`
+      // still contains every host's true top-cut at epoch e iff
+      // K >= (e - he) * cut — each epoch consumes at most `cut` rows per
+      // host, rows only leave pending by being scheduled (so their
+      // transitions are in the delta), and scores never rise. When valid,
+      // scheduling reads O(hosts*K + delta) rows instead of the whole
+      // pending frontier; when stale or absent (no fold yet, head
+      // disabled, resume from a headless store) it falls back to the full
+      // merge-on-read view. Both sources contain the true per-host
+      // top-cut, so the window + budget cut yield identical batches
+      val headSrc: Option[DataFrame] =
+        if (!scheduleFromHead) None
+        else for {
+          h <- store.readTable(m, "frontier_head")
+          he <- m.counters.get("head_epoch")
+          hk <- m.counters.get("head_k")
+          if hk >= (epoch - he) * cutRows
+        } yield h
+      lastSchedSource = if (headSrc.isDefined) "head" else "full"
+      val pendingSrc = headSrc.getOrElse(
+        store.readTable(m, "frontier_base").get)
       val pending = FrontierLog.pending(
-          store.readTable(m, "frontier_base").get,
+          pendingSrc,
           store.readTable(m, "frontier_delta"))
         .join(broadcast(robots.select("host", "crawl_delay_ms")), Seq("host"), "left")
         .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
@@ -322,21 +366,39 @@ final class EpochDriver(
       if (compactFrontierEvery > 0 && epoch % compactFrontierEvery == 0) {
         val folded = FrontierLog.resolve(
           if (emptyDelta) frontierAll(m) else frontierAll(m).unionByName(deltaDf))
+        // stage the fold once (state-partitioned, same dir the commit
+        // names), then derive the HEAD from the written bytes — the
+        // top-(R+1)*cut rows per host, the only rows the next R epochs of
+        // scheduling can possibly touch (head invariant above). Building
+        // it here rides the fold's amortization: one extra host-keyed
+        // top-k pass over the pending slice every R epochs buys every
+        // in-between epoch a head-sized scheduler read
+        val foldDir = store.stagingDir("frontier_base")
+        folded.write.mode("overwrite").partitionBy("state").parquet(foldDir)
+        val headK = (compactFrontierEvery.toLong + 1L) * cutRows
+        val head = Sched.headSlice(
+          spark.read.parquet(foldDir).filter(col("state") === "pending"),
+          headK)
         store.commit(epoch,
-          replace = Map("frontier_base" -> folded),
+          replace = Map("frontier_head" -> head),
+          replacePaths = Map("frontier_base" -> Seq(foldDir)),
           append = appendTables,
-          counters = cfg ++ counters,
-          partitionedBy = Map("frontier_base" -> "state"),
+          counters = cfg ++ counters ++
+            Map("head_epoch" -> epoch, "head_k" -> headK),
           appendPaths = Map("fetch_result" -> Seq(fetchDir)),
           drop = Set("frontier_delta"))
       } else {
         // an all-empty epoch appends no delta: an empty parquet dir at the
-        // head of the delta list would break schema inference on read
+        // head of the delta list would break schema inference on read.
+        // head_epoch/head_k ride every manifest so the validity check
+        // above survives commits that don't touch the head
+        val headMeta = m.counters.view
+          .filterKeys(k => k == "head_epoch" || k == "head_k").toMap
         store.commit(epoch,
           replace = Map.empty,
           append = if (emptyDelta) appendTables
             else appendTables + ("frontier_delta" -> deltaDf),
-          counters = cfg ++ counters,
+          counters = cfg ++ counters ++ headMeta,
           appendPaths = Map("fetch_result" -> Seq(fetchDir)))
       }
       if (compactSeenEvery > 0 && epoch % compactSeenEvery == 0)

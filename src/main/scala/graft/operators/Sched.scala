@@ -90,6 +90,19 @@ object Sched {
       .filter(col("cum_cost_ms") <= epochBudgetMs)
   }
 
+  /** Top-k rows per host by the scheduler's total order — the materialized
+    * frontier-head slice. Runs as WindowGroupLimitExec (per-partition top-k
+    * insertion) over one host exchange; used at fold epochs to cut the
+    * pending frontier down to the only rows the next R epochs of
+    * scheduling can possibly touch (see EpochDriver's head invariant).
+    */
+  def headSlice(pending: DataFrame, k: Long): DataFrame = {
+    val ord = Window.partitionBy("host")
+      .orderBy(col("score").desc, col("depth").asc, col("canon_url").asc)
+    pending.withColumn("_hr", row_number().over(ord))
+      .filter(col("_hr") <= k).drop("_hr")
+  }
+
   /** The typed epoch batch (north rule: "emits the next fetch batch as a
     * typed Dataset"), salted-repartitioned so one hot host spreads over
     * many partitions (W5) — the politeness budget was already applied

@@ -193,4 +193,42 @@ class FrontierLogSpec extends SparkSpecBase {
       epochBudgetMs = 8000L, compactFrontierEvery = 2)
     assert(d2.runEpoch()("epoch") == 4L)
   }
+
+  test("frontier head: scheduler reads a head-sized slice, batch-exact across fold cycles") {
+    // many pending rows per host + a tight budget: the head
+    // (K = (R+1)*cut rows per host) is a small fraction of pending — the
+    // geometry where scanning the whole frontier per epoch is the waste
+    val nHosts = 20
+    val seeds = SimWeb.seedUrls(4000, nHosts, seed)
+    val hStore = new SnapshotStore(tmpDir(), spark)
+    val h = new EpochDriver(spark, hStore, seed, nHosts,
+      epochBudgetMs = 2000L, compactFrontierEvery = 2)
+    val f = new EpochDriver(spark, new SnapshotStore(tmpDir(), spark), seed,
+      nHosts, epochBudgetMs = 2000L, compactFrontierEvery = 2,
+      scheduleFromHead = false)
+    h.init(seeds); f.init(seeds)
+    val sources = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mh = (1 to 5).map { _ =>
+      val m = h.runEpoch(); sources += h.lastSchedSource; m
+    }
+    val mf = (1 to 5).map(_ => f.runEpoch())
+    // the head invariant is EXACT: identical per-epoch counters and final
+    // frontier whether scheduling scans the head or the full pending set
+    assert(mh == mf, "head scheduling changed epoch counters")
+    assert(h.frontier().collect().map(_.toSeq).toSet ==
+      f.frontier().collect().map(_.toSeq).toSet,
+      "head scheduling changed the frontier view")
+    // epochs 1-2 precede the first fold; 3-5 ride the epoch-2/epoch-4 heads
+    assert(sources.toSeq == Seq("full", "full", "head", "head", "head"),
+      s"head fast path not engaged as expected: $sources")
+    // and the head really is host-bounded, not frontier-sized
+    val m5 = hStore.latest().get
+    val headRows = hStore.readTable(m5, "frontier_head").get.count()
+    val pendingRows = h.frontier()
+      .filter(col("state") === "pending").count()
+    assert(headRows <= nHosts * 3L * (2000L / 500L),
+      s"head has $headRows rows — more than hosts * (R+1) * cut")
+    assert(headRows < pendingRows / 5,
+      s"test premise: head ($headRows) should be ≪ pending ($pendingRows)")
+  }
 }
