@@ -345,9 +345,10 @@ final class EpochDriver(
       // same way; a compaction epoch folds base+deltas into a fresh base
       // and drops the log (merge-on-read view identical either way)
       store.appendSeen(fresh.select("canon_url"), epoch)
+      val bloomNew = Bloom.buildSegments(fresh.select("canon_url"),
+        "canon_url", bloomSegments, bloomBitsPerSegment)
       val appendTables = Map(
-        "seen_bloom" -> Bloom.buildSegments(fresh.select("canon_url"),
-          "canon_url", bloomSegments, bloomBitsPerSegment),
+        "seen_bloom" -> bloomNew,
         "metrics" -> metricsDf)
       // delta file sizing tracks the DELTA's row count (~1M rows/file,
       // capped at the session parallelism), so a small epoch writes one
@@ -379,10 +380,20 @@ final class EpochDriver(
         val head = Sched.headSlice(
           spark.read.parquet(foldDir).filter(col("state") === "pending"),
           headK)
+        // the Bloom blob log folds here too: OR-merge every appended
+        // (epoch, segment) row plus this epoch's into one row per segment,
+        // so the per-epoch filter read merges O(segments + R) blobs, not
+        // O(epochs × segments) — OR is associative, so bit-identical
+        val bloomFolded = Bloom.foldSegments(
+          store.readTable(m, "seen_bloom") match {
+            case Some(prev) =>
+              prev.select("segment_id", "bloom").unionByName(bloomNew)
+            case None => bloomNew
+          })
         store.commit(epoch,
-          replace = Map("frontier_head" -> head),
+          replace = Map("frontier_head" -> head, "seen_bloom" -> bloomFolded),
           replacePaths = Map("frontier_base" -> Seq(foldDir)),
-          append = appendTables,
+          append = appendTables - "seen_bloom",
           counters = cfg ++ counters ++
             Map("head_epoch" -> epoch, "head_k" -> headK),
           appendPaths = Map("fetch_result" -> Seq(fetchDir)),

@@ -177,6 +177,25 @@ object Bloom {
     * only the local segment per partition) — same table layout, no merged
     * broadcast at all.
     */
+  /** OR-fold the seen_bloom table's per-(epoch, segment) rows into ONE row
+    * per segment, as a DataFrame (no driver collect): committed at
+    * compaction epochs in place of the appended blob log, so the per-epoch
+    * read+merge cost is O(segments + appends-since-fold) blobs instead of
+    * O(epochs × segments). OR is associative/commutative and the blobs are
+    * format-versioned (cfg_bloom_hash_version), so the folded table is
+    * bit-identical to merging the unfolded log.
+    */
+  def foldSegments(segDf: DataFrame): DataFrame = {
+    val spark = segDf.sparkSession
+    import spark.implicits._
+    segDf.select(col("segment_id"), col("bloom"))
+      .as[(Long, Array[Byte])]
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, orBlobs(a._2, b._2)))
+      .map { case (id, (_, blob)) => (id, blob) }
+      .toDF("segment_id", "bloom")
+  }
+
   def mergedSegments(segDf: DataFrame, segments: Int, mBits: Int, k: Int = 5): Array[Filter] = {
     val spark = segDf.sparkSession
     import spark.implicits._

@@ -186,6 +186,10 @@ class FrontierLogSpec extends SparkSpecBase {
       "the init-time base superseded by the fold was never reclaimed")
     // lineage append tables keep their full history
     assert(onDisk("fetch_result") == referenced("fetch_result"))
+    // the Bloom blob log folded at epoch 2: refs are the fold + one append
+    // per later epoch, never one per epoch since the crawl began
+    assert(m.tables("seen_bloom").size.toLong <= 2L,
+      s"seen_bloom log not folded: ${m.tables("seen_bloom")}")
 
     // the reclaim touched nothing live: view identical, resume clean
     assert(d.frontier().collect().map(_.toSeq).toSet == viewBefore)
