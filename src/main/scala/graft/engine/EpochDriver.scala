@@ -91,12 +91,11 @@ final class EpochDriver(
   private val minDelayFloorMs: Long = math.min(defaultDelayMs,
     robotsRows.map(_._2).minOption.getOrElse(defaultDelayMs))
 
-  /** Per-host upper bound on rows any single epoch can schedule: every
-    * fetch costs >= minDelayFloorMs of the budget. Must mirror
-    * Sched.rankAndBudget's internal cut (same formula, same inputs).
+  /** Per-host upper bound on rows any single epoch can schedule — THE cut
+    * rankAndBudget applies, via the shared definition (head exactness
+    * requires the two to be the same value, not two copies of a formula).
     */
-  private val cutRows: Long = math.min(
-    epochBudgetMs / math.max(1L, minDelayFloorMs), Int.MaxValue.toLong)
+  private val cutRows: Long = Sched.budgetCut(epochBudgetMs, minDelayFloorMs)
 
   /** Which source the last runEpoch scheduled from ("head" | "full") —
     * test/ops visibility for the head fast path.
@@ -203,13 +202,16 @@ final class EpochDriver(
       // disabled, resume from a headless store) it falls back to the full
       // merge-on-read view. Both sources contain the true per-host
       // top-cut, so the window + budget cut yield identical batches
+      // counters first, table read last: a permanently stale head (e.g.
+      // resume with folding off) must not pay a parquet schema read per
+      // epoch just to be discarded
       val headSrc: Option[DataFrame] =
         if (!scheduleFromHead) None
         else for {
-          h <- store.readTable(m, "frontier_head")
           he <- m.counters.get("head_epoch")
           hk <- m.counters.get("head_k")
           if hk >= (epoch - he) * cutRows
+          h <- store.readTable(m, "frontier_head")
         } yield h
       lastSchedSource = if (headSrc.isDefined) "head" else "full"
       val pendingSrc = headSrc.getOrElse(
@@ -380,6 +382,12 @@ final class EpochDriver(
         val head = Sched.headSlice(
           spark.read.parquet(foldDir).filter(col("state") === "pending"),
           headK)
+        // a frontier-draining fold produces an EMPTY head; committing it
+        // would leave a row-less parquet dir the next epoch cannot
+        // schema-infer (the delta append guards the identical hazard) —
+        // commit no head instead and drop any stale one, so the next
+        // epoch takes the full-view path and terminates normally
+        val headEmpty = head.isEmpty
         // the Bloom blob log folds here too: OR-merge every appended
         // (epoch, segment) row plus this epoch's into one row per segment,
         // so the per-epoch filter read merges O(segments + R) blobs, not
@@ -391,13 +399,17 @@ final class EpochDriver(
             case None => bloomNew
           })
         store.commit(epoch,
-          replace = Map("frontier_head" -> head, "seen_bloom" -> bloomFolded),
+          replace = (if (headEmpty) Map.empty[String, DataFrame]
+            else Map("frontier_head" -> head)) +
+            ("seen_bloom" -> bloomFolded),
           replacePaths = Map("frontier_base" -> Seq(foldDir)),
           append = appendTables - "seen_bloom",
           counters = cfg ++ counters ++
-            Map("head_epoch" -> epoch, "head_k" -> headK),
+            (if (headEmpty) Map.empty[String, Long]
+             else Map("head_epoch" -> epoch, "head_k" -> headK)),
           appendPaths = Map("fetch_result" -> Seq(fetchDir)),
-          drop = Set("frontier_delta"))
+          drop = if (headEmpty) Set("frontier_delta", "frontier_head")
+            else Set("frontier_delta"))
       } else {
         // an all-empty epoch appends no delta: an empty parquet dir at the
         // head of the delta list would break schema inference on read.

@@ -78,17 +78,31 @@ object Sched {
     */
   def rankAndBudget(pending: DataFrame, epochBudgetMs: Long,
       minDelayMs: Long = 1L): DataFrame = {
-    val ord = Window.partitionBy("host")
-      .orderBy(col("score").desc, col("depth").asc, col("canon_url").asc)
-    val cut = math.min(epochBudgetMs / math.max(1L, minDelayMs),
-      Int.MaxValue.toLong)
+    val cut = budgetCut(epochBudgetMs, minDelayMs)
     pending
-      .withColumn("rank", row_number().over(ord))
+      .withColumn("rank", row_number().over(hostOrder))
       .filter(col("rank") <= cut)
       .withColumn("cum_cost_ms", sum(col("crawl_delay_ms")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        hostOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_cost_ms") <= epochBudgetMs)
   }
+
+  /** THE scheduler's per-host total order (SURVEY note N7). Single
+    * definition shared by rankAndBudget and headSlice: the frontier-head
+    * invariant (EpochDriver) requires the head's top-K order and the
+    * scheduler's ranking order to be byte-identical, so they must not be
+    * able to drift apart.
+    */
+  private val hostOrder = Window.partitionBy("host")
+    .orderBy(col("score").desc, col("depth").asc, col("canon_url").asc)
+
+  /** Per-host upper bound on rows one epoch can schedule under `budgetMs`
+    * when every fetch costs at least `minDelayMs`. Single definition: the
+    * frontier-head sizing/validity math (EpochDriver) is exact only if it
+    * uses the very cut rankAndBudget applies.
+    */
+  def budgetCut(budgetMs: Long, minDelayMs: Long): Long =
+    math.min(budgetMs / math.max(1L, minDelayMs), Int.MaxValue.toLong)
 
   /** Top-k rows per host by the scheduler's total order — the materialized
     * frontier-head slice. Runs as WindowGroupLimitExec (per-partition top-k
@@ -96,12 +110,9 @@ object Sched {
     * pending frontier down to the only rows the next R epochs of
     * scheduling can possibly touch (see EpochDriver's head invariant).
     */
-  def headSlice(pending: DataFrame, k: Long): DataFrame = {
-    val ord = Window.partitionBy("host")
-      .orderBy(col("score").desc, col("depth").asc, col("canon_url").asc)
-    pending.withColumn("_hr", row_number().over(ord))
+  def headSlice(pending: DataFrame, k: Long): DataFrame =
+    pending.withColumn("_hr", row_number().over(hostOrder))
       .filter(col("_hr") <= k).drop("_hr")
-  }
 
   /** The typed epoch batch (north rule: "emits the next fetch batch as a
     * typed Dataset"), salted-repartitioned so one hot host spreads over

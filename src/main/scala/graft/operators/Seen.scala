@@ -177,6 +177,21 @@ object Bloom {
     * only the local segment per partition) — same table layout, no merged
     * broadcast at all.
     */
+  def mergedSegments(segDf: DataFrame, segments: Int, mBits: Int, k: Int = 5): Array[Filter] = {
+    val spark = segDf.sparkSession
+    import spark.implicits._
+    val merged = segDf
+      .select(col("segment_id"), col("bloom"))
+      .as[(Long, Array[Byte])]
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, orBlobs(a._2, b._2)))
+      .map { case (id, (_, blob)) => (id, blob) }
+      .collect()
+    val out = Array.fill(segments)(Filter.empty(mBits, k))
+    merged.foreach { case (id, blob) => out(id.toInt) = Filter.deserialize(blob) }
+    out
+  }
+
   /** OR-fold the seen_bloom table's per-(epoch, segment) rows into ONE row
     * per segment, as a DataFrame (no driver collect): committed at
     * compaction epochs in place of the appended blob log, so the per-epoch
@@ -194,21 +209,6 @@ object Bloom {
       .reduceGroups((a, b) => (a._1, orBlobs(a._2, b._2)))
       .map { case (id, (_, blob)) => (id, blob) }
       .toDF("segment_id", "bloom")
-  }
-
-  def mergedSegments(segDf: DataFrame, segments: Int, mBits: Int, k: Int = 5): Array[Filter] = {
-    val spark = segDf.sparkSession
-    import spark.implicits._
-    val merged = segDf
-      .select(col("segment_id"), col("bloom"))
-      .as[(Long, Array[Byte])]
-      .groupByKey(_._1)
-      .reduceGroups((a, b) => (a._1, orBlobs(a._2, b._2)))
-      .map { case (id, (_, blob)) => (id, blob) }
-      .collect()
-    val out = Array.fill(segments)(Filter.empty(mBits, k))
-    merged.foreach { case (id, blob) => out(id.toInt) = Filter.deserialize(blob) }
-    out
   }
 }
 

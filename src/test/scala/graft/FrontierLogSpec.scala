@@ -235,4 +235,23 @@ class FrontierLogSpec extends SparkSpecBase {
     assert(headRows < pendingRows / 5,
       s"test premise: head ($headRows) should be ≪ pending ($pendingRows)")
   }
+
+  test("an empty-head fold commits no row-less head table; next epoch survives on the full path") {
+    // budget below every crawl delay ⇒ cut = 0 ⇒ headSlice is empty even
+    // with a non-empty pending set — the same shape as a frontier-draining
+    // fold. A committed row-less parquet head would make every later
+    // epoch's schema inference crash
+    val store = new SnapshotStore(tmpDir(), spark)
+    val d = new EpochDriver(spark, store, seed, 4, epochBudgetMs = 100L,
+      compactFrontierEvery = 1)
+    d.init(SimWeb.seedUrls(10, 4, seed))
+    val m1 = d.runEpoch()
+    assert(m1("fetched") == 0L)
+    assert(store.latest().get.tables.get("frontier_head").isEmpty,
+      "fold committed an empty frontier_head")
+    val m2 = d.runEpoch()
+    assert(d.lastSchedSource == "full",
+      "absent head must fall back to the full pending view")
+    assert(m2("epoch") == 2L && m2("fetched") == 0L)
+  }
 }
