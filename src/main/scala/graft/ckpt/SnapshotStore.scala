@@ -221,16 +221,34 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
       .select("canon_url")
   }
 
-  /** Log-compaction of the seen table: fold every epoch partition in
-    * [0, upTo] into a single distinct epoch=0 partition, then drop the
-    * folded partitions AND physically delete their directories. The
-    * physical delete is required for the compaction to survive a restart:
-    * DROP PARTITION on an external table removes only catalog entries, and
-    * ensureSeenTable's MSCK REPAIR in the next JVM re-discovers any
-    * epoch=e directory still inside LOCATION — silently resurrecting the
-    * folded partitions (duplicate rows for seenSet()/count consumers and
-    * the scan-cost win lost). Once dropped+folded the files are referenced
-    * by nothing, so the delete is safe.
+  /** Log-compaction of the seen table: fold the epoch partitions in
+    * (sinceExclusive, upTo] into the single partition
+    * epoch = sinceExclusive + 1, then drop the folded partitions AND
+    * physically delete their directories.
+    *
+    * GENERATIONAL by design (LSM-style): seen rows never change and each
+    * epoch's append is disjoint from everything before it (candidates are
+    * anti-joined against the set), so compaction is purely file-count
+    * management — it never needs to touch old data to be correct. A caller
+    * that folds only the last R epochs (`sinceExclusive = upTo - R`) pays
+    * O(R × batch) I/O per compaction and leaves every earlier generation's
+    * files untouched forever, where the old always-full fold re-wrote the
+    * ENTIRE set every cadence — O(crawl-so-far) I/O, growing linearly with
+    * crawl age exactly like the frontier fold this round also fixed. The
+    * default `sinceExclusive = -1` is the full fold (target epoch=0) — the
+    * rare tier-2 pass a driver runs when generation partitions themselves
+    * accumulate ([[graft.engine.EpochDriver]] triggers it by live-partition
+    * count, which bounds per-epoch scan overhead at O(generations) dirs
+    * with amortized full-rewrite cost O(total / generations)).
+    *
+    * The physical delete is required for the compaction to survive a
+    * restart: DROP PARTITION on an external table removes only catalog
+    * entries, and ensureSeenTable's MSCK REPAIR in the next JVM
+    * re-discovers any epoch=e directory still inside LOCATION — silently
+    * resurrecting the folded partitions (duplicate rows for
+    * seenSet()/count consumers and the scan-cost win lost). Once
+    * dropped+folded the files are referenced by nothing, so the delete is
+    * safe.
     *
     * Crash safety (additive fold — never an in-place overwrite): the fold
     * is APPENDED into epoch=0 as new files; the pre-existing epoch=0 files
@@ -248,40 +266,63 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
     * commit-then-delete sequencing above; object stores need the real
     * Iceberg catalog this store stands in for (constraint C1).
     */
-  def compactSeen(upTo: Long): Unit = {
+  def compactSeen(upTo: Long, sinceExclusive: Long = -1L): Unit = {
     ensureSeenTable()
+    require(sinceExclusive < upTo, s"empty fold range ($sinceExclusive, $upTo]")
+    val target = sinceExclusive + 1L
     val staged = new HPath(root, s"data/seen_compact_v$upTo").toString
     // stage the distinct fold OUTSIDE the table first: the fold reads the
     // very table it will append into, and staging breaks the read-write
-    // cycle before any table mutation starts
-    readSeen(upTo).distinct().write.mode("overwrite").parquet(staged)
-    val e0 = new HPath(new HPath(seenLocation), "epoch=0")
-    val oldE0Files: Seq[HPath] =
-      if (fc.util.exists(e0))
-        fc.util.listStatus(e0).toSeq
+    // cycle before any table mutation starts. The range read is
+    // partition-pruned — a generational fold never scans older generations
+    spark.table(seenTable)
+      .filter(org.apache.spark.sql.functions.col("epoch") > sinceExclusive &&
+        org.apache.spark.sql.functions.col("epoch") <= upTo)
+      .select("canon_url")
+      .distinct().write.mode("overwrite").parquet(staged)
+    // a fold window with zero rows (every epoch in range emitted nothing —
+    // a draining crawl) stages a part-less dir that parquet cannot
+    // schema-infer, and there is nothing to fold anyway
+    val stagedHasFiles = fc.util.exists(new HPath(staged)) &&
+      fc.util.listStatus(new HPath(staged)).exists(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    if (!stagedHasFiles) {
+      fc.delete(new HPath(staged), true)
+      return
+    }
+    val tDir = new HPath(new HPath(seenLocation), s"epoch=$target")
+    val oldTargetFiles: Seq[HPath] =
+      if (fc.util.exists(tDir))
+        fc.util.listStatus(tDir).toSeq
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))
           .map(_.getPath)
       else Seq.empty
     // additive append (mode=append, NOT the dynamic-overwrite appendSeen
-    // path): new fold files land beside the old epoch=0 files with
+    // path): new fold files land beside the old target files with
     // job-unique names, so nothing is replaced until the job has committed
     spark.read.parquet(staged)
       .select(org.apache.spark.sql.functions.col("canon_url"),
-        org.apache.spark.sql.functions.lit(0L).as("epoch"))
+        org.apache.spark.sql.functions.lit(target).as("epoch"))
       .write.mode("append")
       .insertInto(seenTable)
-    // the fold is durable and covers all of [0, upTo]: now retire sources
-    oldE0Files.foreach(f => fc.delete(f, false))
-    // drop only partitions that actually exist: iterating 1..upTo would
+    // the fold is durable and covers all of (sinceExclusive, upTo]: now
+    // retire sources
+    oldTargetFiles.foreach(f => fc.delete(f, false))
+    // drop only partitions that actually exist: iterating the range would
     // re-issue an ALTER TABLE + delete per ALREADY-folded epoch on every
     // pass — O(epochs²) cumulative driver round-trips over a long crawl
     val live = spark.sql(s"SHOW PARTITIONS $seenTable").collect()
       .map(_.getString(0).stripPrefix("epoch=").toLong)
-    live.filter(e => e >= 1L && e <= upTo).foreach { e =>
+    live.filter(e => e > target && e <= upTo).foreach { e =>
       spark.sql(s"ALTER TABLE $seenTable DROP IF EXISTS PARTITION (epoch=$e)")
       fc.delete(new HPath(new HPath(seenLocation), s"epoch=$e"), true)
     }
+    // readers gate on epoch <= the committed epoch, so the fold partition
+    // must never carry rows "from the future" of its own key — target is
+    // below every folded source by construction, and compaction runs only
+    // after the epoch's manifest commit, so visibility is unchanged
     fc.delete(new HPath(staged), true)
     ()
   }
@@ -292,6 +333,28 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
   def seenPartitionCount(): Int = {
     ensureSeenTable()
     spark.sql(s"SHOW PARTITIONS $seenTable").count().toInt
+  }
+
+  // ---- staging-space filesystem helpers (used by the frontier fold's
+  // archive-by-rename: terminal partitions MOVE out of the staged fold dir
+  // before the manifest commit, so the mutation is crash-safe — an aborted
+  // attempt leaves only orphan staging dirs the re-run clobbers)
+
+  def pathExists(p: String): Boolean = fc.util.exists(new HPath(p))
+
+  def deletePath(p: String): Unit = {
+    val hp = new HPath(p)
+    if (fc.util.exists(hp)) { fc.delete(hp, true); () }
+  }
+
+  /** Rename `src` to `dst`, creating `dst`'s parent. Fails if `dst` exists
+    * (callers clobber their own staging target first) — never silently
+    * merges two directories.
+    */
+  def movePath(src: String, dst: String): Unit = {
+    val d = new HPath(dst)
+    fc.mkdir(d.getParent, FsPermission.getDirDefault, true)
+    fc.rename(new HPath(src), d)
   }
 
   /** Iceberg expire-snapshots analog: physically delete versioned data

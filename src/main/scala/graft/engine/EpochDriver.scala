@@ -24,7 +24,12 @@ import graft.operators.{Bloom, Extract, Sched, Seen}
   * inside an epoch — and between folds the scheduler READS a materialized
   * per-host top-K head instead of the pending frontier (batch-exact; see
   * the head invariant in runEpoch), so a normal epoch neither writes nor
-  * scans the full frontier. The epoch's fetch output is written ONCE (the
+  * scans the full frontier. Fold epochs are bounded too: terminal
+  * (fetched/failed) rows are absorbing, so each fold renames them out of
+  * the staged base into the append-only frontier_archive — the fold
+  * resolves O(pending wavefront + delta window) rows, independent of how
+  * long the crawl has run, instead of re-writing the ever-growing terminal
+  * history every R epochs. The epoch's fetch output is written ONCE (the
   * fetch_result table, durable before any consumer runs) and re-read
   * column-pruned by each consumer instead of pinning a cached copy of the
   * span corpus in executor memory — at a 100x batch the corpus doesn't fit
@@ -164,7 +169,11 @@ final class EpochDriver(
     ()
   }
 
-  /** base ∪ delta rows (unresolved) as of manifest `m`. */
+  /** The LIVE fold window as of manifest `m`: base ∪ delta rows,
+    * unresolved. Excludes the terminal archive by construction — archived
+    * rows are absorbing and never contend with a live row, so every
+    * resolve over this window is O(pending + recent terminals + delta).
+    */
   private def frontierAll(m: store.Manifest): DataFrame = {
     val base = store.readTable(m, "frontier_base")
       .getOrElse(sys.error("store has no frontier_base"))
@@ -378,6 +387,34 @@ final class EpochDriver(
         // in-between epoch a head-sized scheduler read
         val foldDir = store.stagingDir("frontier_base")
         folded.write.mode("overwrite").partitionBy("state").parquet(foldDir)
+        // ---- archive-by-rename: fetched/failed are ABSORBING (a URL enters
+        // the frontier exactly once — candidates are anti-joined against
+        // seen — and only pending rows are ever scheduled), so the fold's
+        // terminal partitions are immutable forever. MOVE them — an O(1)
+        // directory rename inside the uncommitted staging space, crash-safe
+        // by the same argument as every staged write — into the append-only
+        // frontier_archive table instead of carrying them through every
+        // later fold: fold I/O is O(pending wavefront + delta window),
+        // independent of crawl AGE, where re-resolving the full frontier
+        // would re-write the ever-growing terminal history (≫ pending on a
+        // long crawl) every R epochs. A resumed v2-layout store (its whole
+        // terminal history still inside frontier_base) migrates itself on
+        // its first fold — the history leaves the fold window by one rename
+        // per state and is never rewritten again.
+        val hasPending = store.pathExists(s"$foldDir/state=pending")
+        val archDirs: Seq[String] =
+          if (!hasPending) Seq.empty // draining fold (no pending rows left):
+            // keep the terminals in the base so the committed dir is never
+            // a row-less parquet root that later reads cannot schema-infer
+          else {
+            val arch = store.stagingDir("frontier_archive")
+            store.deletePath(arch) // clobber a crashed attempt's orphan
+            val moved = Seq("fetched", "failed")
+              .filter(st => store.pathExists(s"$foldDir/state=$st"))
+            moved.foreach(st =>
+              store.movePath(s"$foldDir/state=$st", s"$arch/state=$st"))
+            if (moved.isEmpty) Seq.empty else Seq(arch)
+          }
         val headK = (compactFrontierEvery.toLong + 1L) * cutRows
         val head = Sched.headSlice(
           spark.read.parquet(foldDir).filter(col("state") === "pending"),
@@ -407,7 +444,9 @@ final class EpochDriver(
           counters = cfg ++ counters ++
             (if (headEmpty) Map.empty[String, Long]
              else Map("head_epoch" -> epoch, "head_k" -> headK)),
-          appendPaths = Map("fetch_result" -> Seq(fetchDir)),
+          appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
+            (if (archDirs.nonEmpty) Map("frontier_archive" -> archDirs)
+             else Map.empty),
           drop = if (headEmpty) Set("frontier_delta", "frontier_head")
             else Set("frontier_delta"))
       } else {
@@ -424,8 +463,19 @@ final class EpochDriver(
           counters = cfg ++ counters ++ headMeta,
           appendPaths = Map("fetch_result" -> Seq(fetchDir)))
       }
-      if (compactSeenEvery > 0 && epoch % compactSeenEvery == 0)
-        store.compactSeen(epoch)
+      // seen compaction is GENERATIONAL (tier-1: fold only this cadence
+      // window's partitions — O(R × batch) I/O, older generations never
+      // touched), with a rare tier-2 full fold when generation partitions
+      // themselves accumulate — amortized full-rewrite cost O(total /
+      // SeenFullFoldPartitions) instead of the old always-full fold's
+      // O(total) every cadence. Tier-2 also sweeps up any range a crashed
+      // compaction left unfolded (folds are file-count hygiene, never
+      // needed for correctness: appends are disjoint by the anti-join)
+      if (compactSeenEvery > 0 && epoch % compactSeenEvery == 0) {
+        if (store.seenPartitionCount() >= EpochDriver.SeenFullFoldPartitions)
+          store.compactSeen(epoch)
+        else store.compactSeen(epoch, epoch - compactSeenEvery)
+      }
       counters
     } finally {
       rankedC.foreach(_.unpersist())
@@ -453,9 +503,28 @@ final class EpochDriver(
     out.toSeq
   }
 
+  /** Append-only terminal-history archive (fetched/failed rows renamed out
+    * of the fold window — see the archive-by-rename block in runEpoch).
+    * Read per-root and unioned: each archived dir carries hive-style
+    * `state=` partition subdirs, and multi-root parquet reads reject hive
+    * inference. Archive roots number one per fold-with-terminals — bounded
+    * by crawl length / compaction cadence — and NOTHING on the epoch path
+    * reads them; only this full-history view does.
+    */
+  private def archive(m: store.Manifest): Option[DataFrame] =
+    m.tables.get("frontier_archive").filter(_.nonEmpty).map(_.map(p =>
+        spark.read.parquet(p).select(FrontierLog.Cols.map(col): _*))
+      .reduce(_.unionByName(_)))
+
   // ---- readers used by tests/metrics (merge-on-read views)
-  def frontier(): DataFrame =
-    FrontierLog.resolve(frontierAll(store.latest().get)).drop("seq")
+  def frontier(): DataFrame = {
+    val m = store.latest().get
+    // archive keys are disjoint from the live window (terminal states are
+    // absorbing and a URL enters the frontier once), so the union needs no
+    // resolve over the archive — the view stays O(live) in shuffle work
+    val live = FrontierLog.resolve(frontierAll(m))
+    archive(m).map(live.unionByName(_)).getOrElse(live).drop("seq")
+  }
   def seenSet(): DataFrame =
     store.latest().map(m => store.readSeen(m.epoch)).get
   def fetchLog(): Option[DataFrame] =
@@ -476,6 +545,21 @@ object EpochDriver {
     * log-structured frontier (frontier_base + frontier_delta, FrontierLog)
     * + single fetch_result lineage table. A v1 store has no
     * frontier_base/fetch_result to read, so resume must refuse loudly.
+    *
+    * The terminal archive (frontier_archive) did NOT bump this version
+    * deliberately: a v2 store whose base still carries its full terminal
+    * history resumes CORRECTLY — the first fold renames that history into
+    * the archive (one rename per state, no rewrite) and later folds see
+    * only the live window, so old stores migrate themselves instead of
+    * refusing.
     */
   val StoreLayoutVersion = 2L
+
+  /** Live seen-partition count at which the per-cadence generational fold
+    * escalates to a full fold. Bounds the per-epoch bucketed-scan overhead
+    * at O(this many) partition dirs while keeping the full-rewrite cost
+    * amortized to O(|seen| / this) per cadence. Pure execution knob — the
+    * seen SET is identical under any fold schedule.
+    */
+  val SeenFullFoldPartitions = 16
 }

@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 /** Log-structured frontier (round-3 verdict item 1 — the engine's last
   * full-table-rewrite): the frontier is stored as
   *
-  *   - `frontier_base` — a full materialization, replaced only at init and
-  *     at periodic compaction epochs (state-partitioned, so pending scans
-  *     prune fetched/failed files), plus
+  *   - `frontier_base` — the resolved LIVE window, replaced only at init
+  *     and at periodic compaction epochs (state-partitioned; after a
+  *     non-draining fold it holds only pending rows — see the archive),
   *   - `frontier_delta` — per-epoch APPENDED state-transition rows (the
   *     scheduled batch's new states) and fresh inserts, each carrying
-  *     `seq` = the epoch that wrote it.
+  *     `seq` = the epoch that wrote it, plus
+  *   - `frontier_archive` — append-only terminal history: fetched/failed
+  *     rows are absorbing (a URL enters the frontier exactly once), so each
+  *     fold RENAMES its terminal partitions out of the staged base instead
+  *     of re-resolving them forever — fold cost is O(pending + delta
+  *     window), independent of crawl age (EpochDriver's archive-by-rename
+  *     block).
   *
   * A normal epoch therefore commits O(batch + fresh) frontier bytes instead
   * of rewriting the whole table — at the north rule's 10^10-URL frontier

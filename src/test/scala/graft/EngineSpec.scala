@@ -170,9 +170,11 @@ class EngineSpec extends SparkSpecBase {
     val setU = u.seenSet().collect().map(_.getString(0)).toSet
     assert(setC == setU)
 
-    // partitions folded: epochs {0..3} → {0 (folded), 3}
+    // generational fold at epoch 2: {1,2} → generation 1 (the seed
+    // partition 0 is an older generation and is never touched); epoch 3
+    // appended its own partition → {0, 1, 3}
     val storeC = new SnapshotStore(dirC, spark)
-    assert(storeC.seenPartitionCount() <= 2,
+    assert(storeC.seenPartitionCount() <= 3,
       "compaction left folded epoch partitions behind")
 
     // restart: drop the catalog entry (the in-memory-catalog analog of a
@@ -191,6 +193,56 @@ class EngineSpec extends SparkSpecBase {
       s"restart resurrected folded partitions: $seenRows rows vs $seenDistinct distinct")
     val m4 = c2.runEpoch() // epoch 4 — also fires compaction again
     assert(m4("epoch") == 4L)
+  }
+
+  test("generational seen compaction: older generations never rewritten, set identical, full fold sweeps") {
+    val dir = tmpDir()
+    val store = new SnapshotStore(dir, spark)
+    import spark.implicits._
+    def urls(e: Int) = (0 until 20).map(i => s"https://g$e.example.com/p/$i")
+    (0 to 6).foreach(e => store.appendSeen(urls(e).toDF("canon_url"), e.toLong))
+    val all = (0 to 6).flatMap(urls).toSet
+    def files(part: Long): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir, "data", "seen_bucketed",
+        s"epoch=$part")
+      if (!java.nio.file.Files.exists(root)) Map.empty
+      else {
+        val s = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(f => java.nio.file.Files.isRegularFile(f) &&
+              !f.getFileName.toString.startsWith("_") &&
+              !f.getFileName.toString.startsWith("."))
+            .map(f => f.getFileName.toString -> java.nio.file.Files.size(f))
+            .toMap
+        } finally s.close()
+      }
+    }
+    def seenSet() = store.readSeen(6L).collect().map(_.getString(0)).toSet
+
+    val gen0 = files(0)
+    store.compactSeen(2, 0) // {1,2} → generation 1
+    val gen1 = files(1)
+    store.compactSeen(4, 2) // {3,4} → generation 3
+    val gen3 = files(3)
+    store.compactSeen(6, 4) // {5,6} → generation 5
+    // THE scale pin: a generational fold touches ONLY its own window —
+    // every older generation's files are byte-identical afterwards
+    assert(files(0) == gen0, "fold rewrote the seed generation")
+    assert(files(1) == gen1, "fold rewrote generation 1")
+    assert(files(3) == gen3, "fold rewrote generation 3")
+    assert(store.seenPartitionCount() == 4, // {0, 1, 3, 5}
+      "generational folds left the wrong partition set")
+    assert(seenSet() == all, "generational folds changed the seen SET")
+    val rows = store.readSeen(6L).count()
+    assert(rows == all.size.toLong, s"duplicate rows after folds: $rows")
+
+    // tier-2: the full fold sweeps every generation into epoch=0
+    store.compactSeen(6)
+    assert(store.seenPartitionCount() == 1, "full fold left partitions")
+    assert(seenSet() == all, "full fold changed the seen SET")
+    assert(store.readSeen(6L).count() == all.size.toLong)
   }
 
   test("K1 sink: emitted batches equal each epoch's fresh rows; K2 control message per epoch") {

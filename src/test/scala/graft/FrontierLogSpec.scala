@@ -178,7 +178,7 @@ class FrontierLogSpec extends SparkSpecBase {
     def referenced(table: String): Set[String] =
       m.tables.getOrElse(table, Seq.empty)
         .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
-    for (t <- Seq("frontier_base", "frontier_delta")) {
+    for (t <- Seq("frontier_base", "frontier_delta", "frontier_archive")) {
       assert(onDisk(t) == referenced(t),
         s"$t on disk ${onDisk(t)} != manifest ${referenced(t)}")
     }
@@ -196,6 +196,64 @@ class FrontierLogSpec extends SparkSpecBase {
     val d2 = new EpochDriver(spark, new SnapshotStore(dir, spark), seed, 10,
       epochBudgetMs = 8000L, compactFrontierEvery = 2)
     assert(d2.runEpoch()("epoch") == 4L)
+  }
+
+  test("terminal history leaves the fold window: archive append-only by rename, base pending-only") {
+    val dir = tmpDir()
+    val store = new SnapshotStore(dir, spark)
+    val d = new EpochDriver(spark, store, seed, 10, epochBudgetMs = 8000L,
+      compactFrontierEvery = 2)
+    d.init(SimWeb.seedUrls(40, 10, seed))
+
+    def archFiles(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir, "data", "frontier_archive")
+      if (!java.nio.file.Files.exists(root)) Map.empty
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => root.relativize(f).toString -> java.nio.file.Files.size(f))
+            .toMap
+        } finally s.close()
+      }
+    }
+
+    (1 to 2).foreach(_ => d.runEpoch()) // fold at epoch 2 → first archive dir
+    val after2 = archFiles()
+    assert(after2.nonEmpty, "epoch-2 fold archived no terminal rows")
+
+    (3 to 4).foreach(_ => d.runEpoch()) // fold at epoch 4 → second archive dir
+    val after4 = archFiles()
+    // THE scale pin: every file the epoch-2 fold archived is still there,
+    // byte-identical — later folds never rewrite terminal history, so fold
+    // I/O is O(pending + delta window), independent of crawl age
+    after2.foreach { case (f, sz) =>
+      assert(after4.get(f).contains(sz),
+        s"epoch-4 fold rewrote archived file $f (was $sz B, now ${after4.get(f)})")
+    }
+    assert(after4.size > after2.size,
+      "epoch-4 fold appended no new archive dir despite new terminals")
+
+    // after a non-draining fold the base holds ONLY the pending wavefront
+    val m = store.latest().get
+    val base = spark.read.parquet(m.tables("frontier_base").head)
+    assert(base.filter(col("state") =!= "pending").count() == 0L,
+      "fold left terminal rows inside the rewritten base")
+
+    // and the archive carries exactly the view's terminal rows (deltas were
+    // folded at epoch 4, so no terminal row is anywhere else)
+    val viewTerm = d.frontier().filter(col("state") =!= "pending").count()
+    val archRows = m.tables("frontier_archive")
+      .map(p => spark.read.parquet(p).count()).sum
+    assert(archRows == viewTerm,
+      s"archive rows ($archRows) != view terminal rows ($viewTerm)")
+
+    // resume on top of an archived store is clean
+    val d2 = new EpochDriver(spark, new SnapshotStore(dir, spark), seed, 10,
+      epochBudgetMs = 8000L, compactFrontierEvery = 2)
+    assert(d2.runEpoch()("epoch") == 5L)
   }
 
   test("frontier head: scheduler reads a head-sized slice, batch-exact across fold cycles") {
