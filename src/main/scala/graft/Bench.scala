@@ -25,12 +25,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** 1-minute load average, or -1 where /proc is unavailable. */
+  /** 1-minute load average, or -1 where unavailable (JDK-portable). */
   private def loadavg(): Double =
-    try {
-      val src = scala.io.Source.fromFile("/proc/loadavg")
-      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
-    } catch { case _: Throwable => -1.0 }
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

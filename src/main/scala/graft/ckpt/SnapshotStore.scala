@@ -270,6 +270,17 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
     ensureSeenTable()
     require(sinceExclusive < upTo, s"empty fold range ($sinceExclusive, $upTo]")
     val target = sinceExclusive + 1L
+    // reclaim staging dirs stranded by a CRASHED earlier fold attempt
+    // before staging anew: later folds use a different v<upTo> name so
+    // would never reuse (or clean) them, and expireUnreferenced manages
+    // only v<N>-named table subdirectories — without this sweep each
+    // crashed compaction leaks one fold-window copy forever. Safe because
+    // the driver is single-flight (no concurrent fold can own one)
+    val dataDir = new HPath(root, "data")
+    if (fc.util.exists(dataDir))
+      fc.util.listStatus(dataDir).map(_.getPath)
+        .filter(_.getName.startsWith("seen_compact_v"))
+        .foreach(p => fc.delete(p, true))
     val staged = new HPath(root, s"data/seen_compact_v$upTo").toString
     // stage the distinct fold OUTSIDE the table first: the fold reads the
     // very table it will append into, and staging breaks the read-write

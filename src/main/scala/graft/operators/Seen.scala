@@ -180,13 +180,10 @@ object Bloom {
   def mergedSegments(segDf: DataFrame, segments: Int, mBits: Int, k: Int = 5): Array[Filter] = {
     val spark = segDf.sparkSession
     import spark.implicits._
-    val merged = segDf
-      .select(col("segment_id"), col("bloom"))
-      .as[(Long, Array[Byte])]
-      .groupByKey(_._1)
-      .reduceGroups((a, b) => (a._1, orBlobs(a._2, b._2)))
-      .map { case (id, (_, blob)) => (id, blob) }
-      .collect()
+    // the ONE executor-side OR-merge pipeline, shared with the committed
+    // fold (foldSegments) so the driver-collect and fold paths cannot
+    // diverge; the driver receives exactly `segments` final blobs
+    val merged = foldSegments(segDf).as[(Long, Array[Byte])].collect()
     val out = Array.fill(segments)(Filter.empty(mBits, k))
     merged.foreach { case (id, blob) => out(id.toInt) = Filter.deserialize(blob) }
     out

@@ -224,57 +224,22 @@ object QueriesFidelity {
   private val FIX_HOSTS = 20
   private val FIX_DOCS = 300
 
-  /** Write-once: the fixture is deterministic in (seed, hosts, docs), so a
-    * present marker stamped with those parameters means the parquet on disk
-    * is already byte-equivalent to what a rewrite would produce. Skipping
-    * the rewrite keeps this a pure read query (no hidden parquet write in
-    * the bench timing). Rebuilds assemble in a session-unique sibling
-    * directory — stamp included — and ARRIVE by a single atomic rename, so
-    * no reader ever sees a partial or mixed-writer tree: two fresh JVMs
-    * racing to populate each build their own tmp, one rename wins, the
-    * loser discards its tmp and re-validates the winner's stamp (the
-    * content is deterministic, so any winner is correct). The trailing
-    * version token in the stamp must be bumped whenever SimWeb.docFor /
-    * seedUrls change, or stale fixtures from older generators would keep
-    * validating.
+  /** Write-once via [[Fixtures.ensure]]: deterministic in (seed, hosts,
+    * docs); the trailing version token must be bumped whenever
+    * SimWeb.docFor / seedUrls change, or stale fixtures from older
+    * generators would keep validating.
     */
   private val fixtureStamp = s"seed=$FIX_SEED hosts=$FIX_HOSTS docs=$FIX_DOCS v2"
   @volatile private var fixtureChecked = false
 
-  private def stampOk(dir: java.io.File): Boolean = {
-    val m = new java.io.File(dir, "_GRAFT_STAMP")
-    m.isFile &&
-      new String(java.nio.file.Files.readAllBytes(m.toPath)) == fixtureStamp
-  }
-
   private def ensureSpansFixture(s: SparkSession): Unit =
     if (!fixtureChecked) synchronized {
-      val target = new java.io.File(spansFixturePath)
-      if (!stampOk(target)) {
+      Fixtures.ensure(spansFixturePath, fixtureStamp) { tmp =>
         import s.implicits._
-        val tmp = new java.io.File(target.getParentFile,
-          s"spans_oracle.tmp.${java.util.UUID.randomUUID()}")
         val urls = SimWeb.seedUrls(FIX_DOCS, FIX_HOSTS, FIX_SEED).distinct
         val docs = urls.map(u => SimWeb.docFor(u, FIX_SEED, FIX_HOSTS))
         s.createDataset(docs).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        java.nio.file.Files.write(
-          new java.io.File(tmp, "_GRAFT_STAMP").toPath, fixtureStamp.getBytes)
-        // re-check right before the swap: another JVM may have renamed a
-        // complete fixture into place while this one was building
-        if (!stampOk(target)) {
-          if (target.exists()) { // stale/partial tree from an old crash
-            import scala.reflect.io.Directory
-            new Directory(target).deleteRecursively()
-          }
-          if (!tmp.renameTo(target)) {
-            // lost the rename race — the winner's tree is complete (its
-            // stamp was written before its rename), keep it
-            require(stampOk(target),
-              s"spans fixture rename failed and $target has no valid stamp")
-          }
-        }
-        if (tmp.exists()) new scala.reflect.io.Directory(tmp).deleteRecursively()
       }
       fixtureChecked = true
     }

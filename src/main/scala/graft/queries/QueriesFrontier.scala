@@ -90,43 +90,20 @@ object QueriesFrontier {
     onBase ++ fresh
   }
 
-  /** Write-once (see QueriesFidelity.ensureSpansFixture for the full
-    * rationale): deterministic content + a stamped marker means a valid
-    * tree never needs rewriting; rebuilds assemble in a session-unique tmp
-    * sibling and arrive by one atomic rename.
+  /** Write-once via [[Fixtures.ensure]]: deterministic in (base, fresh,
+    * hosts); bump the version token whenever baseRows/deltaRows change.
     */
   private val stamp = s"base=$N_BASE fresh=$N_FRESH hosts=$N_HOSTS v1"
   @volatile private var checked = false
 
-  private def stampOk(dir: java.io.File): Boolean = {
-    val m = new java.io.File(dir, "_GRAFT_STAMP")
-    m.isFile &&
-      new String(java.nio.file.Files.readAllBytes(m.toPath)) == stamp
-  }
-
   private def ensureFixture(s: SparkSession): Unit =
     if (!checked) synchronized {
-      val target = new java.io.File(fixturePath)
-      if (!stampOk(target)) {
+      Fixtures.ensure(fixturePath, stamp) { tmp =>
         import s.implicits._
-        val tmp = new java.io.File(target.getParentFile,
-          s"frontier_oracle.tmp.${java.util.UUID.randomUUID()}")
         baseRows.toDF(FrontierLog.Cols: _*).coalesce(1)
           .write.mode("overwrite").parquet(s"$tmp/base")
         deltaRows.toDF(FrontierLog.Cols: _*).coalesce(1)
           .write.mode("overwrite").parquet(s"$tmp/delta")
-        java.nio.file.Files.write(
-          new java.io.File(tmp, "_GRAFT_STAMP").toPath, stamp.getBytes)
-        if (!stampOk(target)) {
-          if (target.exists()) {
-            new scala.reflect.io.Directory(target).deleteRecursively()
-          }
-          if (!tmp.renameTo(target)) {
-            require(stampOk(target),
-              s"frontier fixture rename failed and $target has no valid stamp")
-          }
-        }
-        if (tmp.exists()) new scala.reflect.io.Directory(tmp).deleteRecursively()
       }
       checked = true
     }

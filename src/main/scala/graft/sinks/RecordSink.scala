@@ -129,21 +129,25 @@ object RecordSink {
     } + "\""
 
   /** Read a topic directory back as (key, value-json) rows — the test-side
-    * consumer. Only manifest-listed batch files are read (orphans from
-    * retried stages are ignored); a directory with no manifests (legacy or
-    * foreign) falls back to the batch-file glob.
+    * consumer. For every emission that committed a manifest, only its
+    * manifest-listed batch files are read (orphans from retried stages —
+    * same tag, unlisted file — are ignored). Batch files whose TAG appears
+    * in no manifest are legacy/foreign emissions (written before the
+    * manifest scheme, or by another producer) and are read as-is: the
+    * per-TAG rule means adding manifested emissions to an old directory
+    * never silently drops the old records, while a tag that HAS a manifest
+    * still excludes its orphans.
     */
   def readTopic(spark: org.apache.spark.sql.SparkSession,
       topicDir: String): DataFrame = {
     val dir = new HPath(topicDir)
     val fc = FileContext.getFileContext(dir.toUri,
       spark.sparkContext.hadoopConfiguration)
-    val manifests =
-      if (fc.util.exists(dir))
-        fc.util.listStatus(dir).map(_.getPath)
-          .filter(p => p.getName.startsWith("manifest-") &&
-            p.getName.endsWith(".json")).toSeq
+    val entries =
+      if (fc.util.exists(dir)) fc.util.listStatus(dir).map(_.getPath).toSeq
       else Seq.empty
+    val manifests = entries.filter(p => p.getName.startsWith("manifest-") &&
+      p.getName.endsWith(".json"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val listed = manifests.flatMap { m =>
       val in = fc.open(m)
@@ -153,16 +157,22 @@ object RecordSink {
       node.get("files").elements().asScala.map(f =>
         new HPath(dir, f.asText()).toString).toSeq
     }
-    val src =
-      if (manifests.nonEmpty) {
-        if (listed.isEmpty)
-          return spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "key STRING, value STRING"))
-        spark.read.json(listed: _*)
-      } else spark.read.json(s"$topicDir/batch-*.json")
-    src
+    val manifestTags = manifests.map(p =>
+      p.getName.stripPrefix("manifest-").stripSuffix(".json")).toSet
+    val batchName = "^batch-(.*)-p\\d+-\\d+\\.json$".r
+    val legacy = entries.collect {
+      case p if (p.getName match {
+        case batchName(tag) => !manifestTags.contains(tag)
+        case _ => false
+      }) => p.toString
+    }
+    val files = (listed ++ legacy).sorted
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, value STRING"))
+    spark.read.json(files: _*)
       .select(explode(col("records")).as("r"))
       .select(col("r.key").as("key"), to_json(col("r.value")).as("value"))
   }
