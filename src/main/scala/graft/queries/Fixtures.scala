@@ -35,22 +35,27 @@ object Fixtures {
     if (stampOk(target, stamp)) return
     val tmp = new File(target.getParentFile,
       s"${target.getName}.tmp.${java.util.UUID.randomUUID()}")
-    build(tmp)
-    java.nio.file.Files.write(
-      new File(tmp, "_GRAFT_STAMP").toPath, stamp.getBytes)
-    // re-check right before the swap: another JVM may have renamed a
-    // complete fixture into place while this one was building
-    if (!stampOk(target, stamp)) {
-      if (target.exists()) { // stale/partial tree from an old crash
-        new scala.reflect.io.Directory(target).deleteRecursively()
+    try {
+      build(tmp)
+      java.nio.file.Files.write(
+        new File(tmp, "_GRAFT_STAMP").toPath, stamp.getBytes)
+      // re-check right before the swap: another JVM may have renamed a
+      // complete fixture into place while this one was building
+      if (!stampOk(target, stamp)) {
+        if (target.exists()) { // stale/partial tree from an old crash
+          new scala.reflect.io.Directory(target).deleteRecursively()
+        }
+        if (!tmp.renameTo(target)) {
+          // lost the rename race — the winner's tree is complete (its stamp
+          // was written before its rename), keep it
+          require(stampOk(target, stamp),
+            s"fixture rename failed and $target has no valid stamp")
+        }
       }
-      if (!tmp.renameTo(target)) {
-        // lost the rename race — the winner's tree is complete (its stamp
-        // was written before its rename), keep it
-        require(stampOk(target, stamp),
-          s"fixture rename failed and $target has no valid stamp")
-      }
+    } finally {
+      // also reached when build() throws — a failed assembly must not
+      // leak one UUID-named tmp tree per crash
+      if (tmp.exists()) new scala.reflect.io.Directory(tmp).deleteRecursively()
     }
-    if (tmp.exists()) new scala.reflect.io.Directory(tmp).deleteRecursively()
   }
 }

@@ -66,6 +66,25 @@ class FixturesSpec extends AnyFunSuite {
     assert(readFile(new File(target, "data.txt")) == "good")
   }
 
+  test("a build that throws leaves no tmp debris behind") {
+    val root = tmpRoot()
+    val target = new File(root, "fix")
+    intercept[RuntimeException] {
+      Fixtures.ensure(target.toString, "v1") { tmp =>
+        tmp.mkdirs()
+        Files.write(new File(tmp, "half.txt").toPath, "partial".getBytes)
+        sys.error("generator crashed")
+      }
+    }
+    assert(root.listFiles().isEmpty, "failed assembly leaked files")
+    // a later successful ensure still works
+    Fixtures.ensure(target.toString, "v1") { tmp =>
+      tmp.mkdirs()
+      Files.write(new File(tmp, "data.txt").toPath, "ok".getBytes)
+    }
+    assert(Fixtures.stampOk(target, "v1"))
+  }
+
   test("losing the rename race keeps the winner's tree and drops the tmp") {
     val root = tmpRoot()
     val target = new File(root, "fix")
