@@ -82,10 +82,7 @@ final class EpochDriver(
   private val defaultDelayMs = 2500L
   private val robotsRows =
     Sched.robotsFor((0 until nHosts).map(graft.gen.SimWeb.hostName), seed)
-  private val robots = {
-    import spark.implicits._
-    robotsRows.toDF("host", "crawl_delay_ms", "disallow")
-  }
+  private val robots = Sched.robotsDf(spark, robotsRows)
   /** Exact floor of every delay the scheduler can see: known hosts carry
     * their robots delay, unknown hosts coalesce to `defaultDelayMs`. The
     * per-host window pre-cut in rankAndBudget is exact only for a true
@@ -197,6 +194,7 @@ final class EpochDriver(
     var rankedC: Option[DataFrame] = None
     var candDepthC: Option[DataFrame] = None
     var freshC: Option[DataFrame] = None
+    var headC: Option[DataFrame] = None
     var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
       graft.operators.SegmentedBloom]] = None
     try {
@@ -416,9 +414,13 @@ final class EpochDriver(
             if (moved.isEmpty) Seq.empty else Seq(arch)
           }
         val headK = (compactFrontierEvery.toLong + 1L) * cutRows
+        // cached: the emptiness probe below and the committed write both
+        // consume the head — uncached, the per-host window over the fold's
+        // full pending slice would execute twice per fold epoch
         val head = Sched.headSlice(
           spark.read.parquet(foldDir).filter(col("state") === "pending"),
-          headK)
+          headK).cache()
+        headC = Some(head)
         // a frontier-draining fold produces an EMPTY head; committing it
         // would leave a row-less parquet dir the next epoch cannot
         // schema-infer (the delta append guards the identical hazard) —
@@ -481,6 +483,7 @@ final class EpochDriver(
       rankedC.foreach(_.unpersist())
       candDepthC.foreach(_.unpersist())
       freshC.foreach(_.unpersist())
+      headC.foreach(_.unpersist())
       bloomBc.foreach(_.destroy())
     }
   }

@@ -35,9 +35,17 @@ object Sched {
       (h, delay, disallow)
     }
 
-  def robotsDf(spark: SparkSession, hosts: Seq[String], seed: Long): DataFrame = {
+  def robotsDf(spark: SparkSession, hosts: Seq[String], seed: Long): DataFrame =
+    robotsDf(spark, robotsFor(hosts, seed))
+
+  /** The one place the robots column-name contract lives: callers that
+    * also need the raw rows (e.g. to derive the exact delay floor) build
+    * the DataFrame through here rather than hand-rolling the names.
+    */
+  def robotsDf(spark: SparkSession,
+      rows: Seq[(String, Long, Seq[String])]): DataFrame = {
     import spark.implicits._
-    robotsFor(hosts, seed).toDF("host", "crawl_delay_ms", "disallow")
+    rows.toDF("host", "crawl_delay_ms", "disallow")
   }
 
   /** Robots disallow filter: drop candidates whose path starts with any

@@ -42,14 +42,28 @@ object Fixtures {
       // re-check right before the swap: another JVM may have renamed a
       // complete fixture into place while this one was building
       if (!stampOk(target, stamp)) {
-        if (target.exists()) { // stale/partial tree from an old crash
-          new scala.reflect.io.Directory(target).deleteRecursively()
+        // a stale/partial tree is moved ASIDE by rename, not deleted in
+        // place: deleteRecursively-then-rename would expose a long
+        // partially-deleted window, and could destroy a tree a racing
+        // builder just committed after our re-check. The move-aside keeps
+        // every committed tree intact (POSIX readers with open handles
+        // follow the rename) and shrinks the target-absent window to the
+        // gap between two renames of a complete tree.
+        val aside = new File(target.getParentFile,
+          s"${target.getName}.old.${java.util.UUID.randomUUID()}")
+        if (target.exists() && !target.renameTo(aside)) {
+          // another JVM moved/replaced it concurrently; fall through — the
+          // stamp check below decides who won
+          ()
         }
         if (!tmp.renameTo(target)) {
           // lost the rename race — the winner's tree is complete (its stamp
           // was written before its rename), keep it
           require(stampOk(target, stamp),
             s"fixture rename failed and $target has no valid stamp")
+        }
+        if (aside.exists()) {
+          new scala.reflect.io.Directory(aside).deleteRecursively()
         }
       }
     } finally {

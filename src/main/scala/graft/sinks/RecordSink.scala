@@ -25,19 +25,23 @@ import org.apache.spark.sql.functions._
   * The transport is a topic DIRECTORY standing in for the bridge URL (this
   * sandbox has no Kafka; the payload bytes are exactly what the POST body
   * would be, so swapping the file write for an HTTP call is the only
-  * deployment delta). Each batch lands as `batch-<tag>-p<partition>-<n>
-  * .json` via write-tmp-then-rename; the tmp name additionally carries the
-  * TASK ATTEMPT id, so two live attempts of the same partition (speculative
-  * execution, a zombie task surviving a stage retry) never interleave
-  * writes into one tmp file — each renames its own complete bytes onto the
-  * (deterministic, content-identical) final name, and readers never observe
-  * a torn batch.
+  * deployment delta). Each batch lands as
+  * `batch-<tag>-p<partition>-a<attempt>-<n>.json` via
+  * write-tmp-then-rename. The TASK ATTEMPT id is part of the FINAL name,
+  * not just the tmp: two live attempts of the same partition (speculative
+  * execution, a zombie task surviving a stage retry) may consume their
+  * input rows in different orders and therefore pack DIFFERENT byte
+  * content per batch number — under a shared final name, interleaved
+  * renames could publish a mix of both attempts' batches (rows lost from
+  * one, duplicated from the other). Attempt-disjoint names make the two
+  * attempts' file sets non-overlapping, and the manifest picks exactly
+  * one attempt per partition.
   *
   * After the job succeeds, the driver commits a `manifest-<tag>.json`
-  * naming exactly the batch files this emission produced; `readTopic`
-  * consumes only manifest-listed files, so orphans from an aborted earlier
-  * attempt with a different partitioning (stale `batch-*-pN-*.json` beyond
-  * the final partition count) are never read as duplicate records.
+  * naming exactly the batch files of the attempts that REPORTED to it
+  * (one per partition); `readTopic` consumes only manifest-listed files,
+  * so a losing attempt's files — like orphans from an aborted earlier
+  * run with a different partitioning — are never read as duplicates.
   */
 object RecordSink {
 
@@ -74,12 +78,12 @@ object RecordSink {
         var inBuf = 0
         def flush(): Unit = if (inBuf > 0) {
           val body = s"""{"records":[${buf.result()}]}"""
-          val target = new HPath(dir, s"batch-$tag-p$pid-$batchNo.json")
-          // attempt-unique tmp: concurrent attempts of this partition each
-          // write their own complete file and atomically rename it onto the
-          // shared final name (content is deterministic, so last-wins is
-          // byte-identical)
-          val tmp = new HPath(dir, s".batch-$tag-p$pid-$batchNo.a$attempt.json.tmp")
+          // attempt-disjoint final name: concurrent attempts of this
+          // partition write non-overlapping file sets (their row ORDER —
+          // hence batch packing — need not match), and the manifest
+          // commits exactly one attempt's set per partition
+          val target = new HPath(dir, s"batch-$tag-p$pid-a$attempt-$batchNo.json")
+          val tmp = new HPath(dir, s".batch-$tag-p$pid-a$attempt-$batchNo.json.tmp")
           val out = fc.create(tmp, EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
           try out.write(body.getBytes(UTF_8)) finally out.close()
           fc.rename(tmp, target, Options.Rename.OVERWRITE)
@@ -97,16 +101,18 @@ object RecordSink {
           if (inBuf >= batchSize) flush()
         }
         flush()
-        Iterator.single((pid, batchNo))
-      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
+        Iterator.single((pid, attempt, batchNo))
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt))
       .collect()
 
-    // commit: name exactly this emission's batch files. Written
-    // tmp-then-rename so readers see the old manifest or the new one,
-    // never a torn list; orphan batch files (an aborted attempt that ran
-    // with a different partition count) are simply never listed.
-    val files = counts.flatMap { case (pid, n) =>
-      (0 until n).map(i => s"batch-$tag-p$pid-$i.json")
+    // commit: name exactly the batch files of the attempts that reported
+    // (one per partition — a losing speculative/zombie attempt's files are
+    // never listed). Written tmp-then-rename so readers see the old
+    // manifest or the new one, never a torn list; orphan batch files (an
+    // aborted attempt, or one that ran with a different partition count)
+    // are simply never listed.
+    val files = counts.flatMap { case (pid, attempt, n) =>
+      (0 until n).map(i => s"batch-$tag-p$pid-a$attempt-$i.json")
     }.sorted
     val dir = new HPath(topicDir)
     val fc = FileContext.getFileContext(dir.toUri,
@@ -159,7 +165,9 @@ object RecordSink {
     }
     val manifestTags = manifests.map(p =>
       p.getName.stripPrefix("manifest-").stripSuffix(".json")).toSet
-    val batchName = "^batch-(.*)-p\\d+-\\d+\\.json$".r
+    // both batch-name generations: with the attempt id (current) and
+    // without (pre-attempt-disjoint emissions)
+    val batchName = "^batch-(.*)-p\\d+(?:-a\\d+)?-\\d+\\.json$".r
     val legacy = entries.collect {
       case p if (p.getName match {
         case batchName(tag) => !manifestTags.contains(tag)

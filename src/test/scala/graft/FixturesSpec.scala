@@ -50,6 +50,9 @@ class FixturesSpec extends AnyFunSuite {
     assert(readFile(new File(target, "data.txt")) == "new")
     assert(Fixtures.stampOk(target, "v2"))
     assert(!Fixtures.stampOk(target, "v1"))
+    // the swap must leave neither tmp assemblies nor moved-aside old trees
+    val debris = root.listFiles().map(_.getName).filter(_ != "fix")
+    assert(debris.isEmpty, s"swap debris left: ${debris.mkString(",")}")
   }
 
   test("unstamped debris at the target path is replaced, not trusted") {
