@@ -245,6 +245,30 @@ class EngineSpec extends SparkSpecBase {
     assert(store.readSeen(6L).count() == all.size.toLong)
   }
 
+  test("K1 sink: a losing concurrent attempt's batch files are never read back") {
+    // two attempts of partition 0 packed the same rows into batches in
+    // DIFFERENT orders (speculative execution / zombie task); the manifest
+    // committed attempt 7 — readTopic must return exactly attempt 7's
+    // records, and a legacy unmanifested tag must still read as-is
+    val topic = java.nio.file.Paths.get(tmpDir(), "t")
+    java.nio.file.Files.createDirectories(topic)
+    def put(name: String, keys: String*): Unit =
+      java.nio.file.Files.writeString(topic.resolve(name),
+        keys.map(k => s"""{"key":"$k","value":{"u":"$k"}}""")
+          .mkString("{\"records\":[", ",", "]}"))
+    put("batch-e1-p0-a7-0.json", "r1", "r2")
+    put("batch-e1-p0-a7-1.json", "r3")
+    put("batch-e1-p0-a9-0.json", "r3", "r1") // zombie attempt, other packing
+    put("batch-e1-p0-a9-1.json", "r2")
+    java.nio.file.Files.writeString(topic.resolve("manifest-e1.json"),
+      """{"files":["batch-e1-p0-a7-0.json","batch-e1-p0-a7-1.json"]}""")
+    put("batch-old-p0-0.json", "legacy") // pre-manifest generation, no manifest
+    val got = graft.sinks.RecordSink.readTopic(spark, topic.toString)
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("legacy", "r1", "r2", "r3"),
+      s"readTopic returned ${got.mkString(",")}")
+  }
+
   test("K1 sink: emitted batches equal each epoch's fresh rows; K2 control message per epoch") {
     val dir = tmpDir()
     val sink = tmpDir()
