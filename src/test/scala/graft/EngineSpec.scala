@@ -243,6 +243,19 @@ class EngineSpec extends SparkSpecBase {
     assert(store.seenPartitionCount() == 1, "full fold left partitions")
     assert(seenSet() == all, "full fold changed the seen SET")
     assert(store.readSeen(6L).count() == all.size.toLong)
+
+    // a CRASHED earlier fold strands its staging dir (unique v<upTo> name —
+    // later folds would never reuse or clean it); the next fold must sweep
+    // it and still fold correctly
+    val debris = java.nio.file.Paths.get(dir, "data", "seen_compact_v99")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.writeString(debris.resolve("part-junk.parquet"), "x")
+    store.appendSeen(urls(7).toDF("canon_url"), 7L)
+    store.compactSeen(7)
+    assert(!java.nio.file.Files.exists(debris),
+      "crashed fold's staging dir survived the next compaction")
+    assert(seenSet() ++ urls(7).toSet == all ++ urls(7).toSet)
+    assert(store.readSeen(7L).count() == (all ++ urls(7)).size.toLong)
   }
 
   test("K1 sink: a losing concurrent attempt's batch files are never read back") {
