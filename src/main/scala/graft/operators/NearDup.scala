@@ -60,6 +60,87 @@ object NearDup {
     pairsFromSimhash(simhash(docs),
       Banding.blocksFor(expectedDocs, hashBits = SimhashBits))
 
+  /** Near-dup pairs TOUCHING a new ingest batch, probed against a
+    * persisted corpus signature table — the steady-state 100 TB operation:
+    * a training-data pipeline dedups each increment against the standing
+    * corpus; recomputing the corpus's own pairs (q44/q46's shape) every
+    * ingest would be O(corpus) candidate work per batch for answers it
+    * already has. `corpusSim` is (doc_id, simhash) persisted from earlier
+    * runs (the committed output of [[simhash]]); `newDocs` is the
+    * increment's (doc_id, text); ids must be disjoint from the corpus.
+    * Returns every (doc_a, doc_b, hd ≤ [[Banding.HD]]) pair with at least
+    * one side in the new batch — output-identical to
+    * `pairs(corpus ∪ new)` filtered to pairs touching the batch
+    * (NearDupSpec pins the equality) — while the banded join probes only
+    * NEW-side groups against the full band table, so per-increment
+    * candidate work is O(|new| × bucket occupancy), independent of how
+    * many old-old pairs exist.
+    */
+  def pairsIncremental(newDocs: DataFrame, corpusSim: DataFrame,
+      expectedDocs: Long): DataFrame =
+    incrementalFromSimhash(simhash(newDocs), corpusSim,
+      Banding.blocksFor(expectedDocs, hashBits = SimhashBits))
+
+  /** [[pairsIncremental]] over precomputed signatures. Same group-collapse
+    * + banded-candidate + verify-once-per-group-pair shape as
+    * [[pairsFromSimhash]], with two deltas: groups carry an any-new-member
+    * flag, and the candidate join is bandsNEW × bandsALL instead of a full
+    * self-join (new-new group pairs arrive twice and collapse in the
+    * DISTINCT; old-old group pairs are never generated). Expansion keeps
+    * only doc pairs touching a new doc, so exact-duplicate groups that mix
+    * old and new members emit their new-touching intra pairs and nothing
+    * else.
+    */
+  def incrementalFromSimhash(simNew: DataFrame, corpusSim: DataFrame,
+      blocks: Int, hashBits: Int = SimhashBits): DataFrame = {
+    val bounds = Banding.blockBounds(blocks, hashBits)
+    val subsets = Banding.blockSubsets(blocks)
+    def blk(bi: Int): Column = {
+      val (st, w) = bounds(bi)
+      shiftright(col("simhash"), st).bitwiseAND(lit((1L << w) - 1))
+    }
+    val keyExprs = subsets.map { sub =>
+      sub.tail.foldLeft(blk(sub.head)) { (acc, bi) =>
+        shiftleft(acc, bounds(bi)._2).bitwiseOR(blk(bi))
+      }
+    }
+    val all = simNew.select(col("doc_id"), col("simhash"),
+        lit(true).as("is_new"))
+      .unionByName(corpusSim.select(col("doc_id"), col("simhash"),
+        lit(false).as("is_new")))
+    val g = all.groupBy("simhash")
+      .agg(min("doc_id").as("gid"), max("is_new").as("g_new"))
+    val md = all.join(g.select("simhash", "gid"), Seq("simhash"))
+      .select(col("doc_id"), col("gid"), col("is_new"))
+    val bands = g.select(col("gid"), col("simhash"), col("g_new"),
+      posexplode(array(keyExprs: _*)).as(Seq("band_id", "band_key")))
+    val gp = bands.filter(col("g_new")).as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.gid") =!= col("y.gid"))
+      .select(least(col("x.gid"), col("y.gid")).as("ga"),
+        greatest(col("x.gid"), col("y.gid")).as("gb"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("int").as("hd"))
+      .filter(col("hd") <= Banding.HD)
+      .distinct()
+    val cross = gp
+      .join(md.as("ma"), col("ga") === col("ma.gid"))
+      .select(col("ma.doc_id").as("da"), col("ma.is_new").as("na"),
+        col("gb"), col("hd"))
+      .join(md.as("mb"), col("gb") === col("mb.gid"))
+      .filter(col("na") || col("mb.is_new"))
+      .select(least(col("da"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("da"), col("mb.doc_id")).as("doc_b"), col("hd"))
+    val intra = md.as("u").join(md.as("v"),
+        col("u.gid") === col("v.gid") &&
+          col("u.doc_id") < col("v.doc_id") &&
+          (col("u.is_new") || col("v.is_new")))
+      .select(col("u.doc_id").as("doc_a"), col("v.doc_id").as("doc_b"),
+        lit(0).as("hd"))
+    cross.unionAll(intra)
+  }
+
   /** The generalized Manku construction over a precomputed (doc_id,
     * simhash) frame: split the hash into `blocks` near-equal contiguous
     * blocks, key one candidate table per (blocks−HD)-subset on that

@@ -39,6 +39,37 @@ class NearDupSpec extends SparkSpecBase {
     } finally sim.unpersist()
   }
 
+  test("incremental pairs ≡ full pairs filtered to the new batch") {
+    import org.apache.spark.sql.functions._
+    val sim = NearDup.simhash(docs).cache()
+    try {
+      // deterministic split: ~1/4 of the corpus is the "new" ingest batch
+      val isNew = pmod(col("doc_id"), lit(4)) === 0
+      val simNew = sim.filter(isNew)
+      val simOld = sim.filter(!isNew)
+      assert(simNew.count() > 0 && simOld.count() > 0)
+
+      val newIds = simNew.select("doc_id").collect().map(_.get(0)).toSet
+      val full = NearDup.pairsFromSimhash(sim, 4).collect()
+        .map(_.toSeq).toSet
+      val expected = full.filter(p =>
+        newIds.contains(p(0)) || newIds.contains(p(1)))
+      assert(expected.nonEmpty, "test premise: some pairs touch the batch")
+      assert(expected.size < full.size,
+        "test premise: some old-old pairs exist to be skipped")
+
+      val inc = NearDup.incrementalFromSimhash(simNew, simOld, 4)
+        .collect().map(_.toSeq).toSet
+      assert(inc == expected,
+        s"incremental=${inc.size} expected=${expected.size}")
+
+      // geometry stays a pure cost knob on the incremental path too
+      val incB6 = NearDup.incrementalFromSimhash(simNew, simOld, 6)
+        .collect().map(_.toSeq).toSet
+      assert(incB6 == expected)
+    } finally sim.unpersist()
+  }
+
   test("operator simhash matches the q25 oracle-checked values") {
     // NearDup.simhash IS q25's projection (QueriesText delegates); pin the
     // linkage so a drift in either side breaks loudly
