@@ -348,21 +348,48 @@ object QueriesText {
     * recompute — the banded join probes only new-side groups against the
     * band table, so per-increment candidate work is O(batch × occupancy),
     * independent of how many old-old pairs exist. Here the documents table
-    * splits deterministically (doc_id % 4 = 0 → the "new" batch; the rest
-    * stands in for the persisted corpus signatures — a production ingest
-    * READS those from its signature table, so this demo's recompute of the
-    * corpus-side simhash is a fixture artifact, not operator cost). The
+    * splits deterministically (doc_id % 4 = 0 → the "new" batch; the rest's
+    * signatures are PERSISTED once as a write-once fixture and read back —
+    * the same shape a production ingest has, where the corpus signature
+    * table is committed state, so the query's cost is genuinely
+    * "simhash the batch + probe", not a full-corpus recompute). The
     * DuckDB oracle is
     * the INDEPENDENT formulation — q44's full construction filtered to
     * pairs touching the batch — so the probe-side pruning is proven
     * output-neutral in both engines on every Verify run.
     */
+  /** The "persisted corpus signatures" q49 probes: sim over the non-batch
+    * docs, written ONCE per (dir, generator version) via the shared
+    * write-once fixture protocol — so the query's runtime shape matches
+    * production (READ signatures + simhash only the new batch + probe),
+    * not a demo that recomputes the corpus side every run. Deterministic
+    * in (documents table, split, simhash version); the version token must
+    * bump if NearDup.simhash or the split changes.
+    */
+  private val corpusSimChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def corpusSimDf(s: SparkSession, dir: String): DataFrame = {
+    val path = "/root/.graft/fixtures/corpus_sim_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    if (!corpusSimChecked.contains(path)) synchronized {
+      Fixtures.ensure(path,
+        s"dir=$dir split=mod4 bits=$SIMHASH_BITS simhash-v1") { tmp =>
+        simhashDf(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      }
+      corpusSimChecked.add(path)
+    }
+    s.read.parquet(path)
+  }
+
   private val q49 = Q("q49_dedup_simhash_incremental",
     (s, dir) => {
-      val sim = simhashDf(s, dir)
-      val isNew = pmod(col("doc_id"), lit(4)) === 0
+      val newDocs = tblSpread(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"))
       graft.operators.NearDup.incrementalFromSimhash(
-          sim.filter(isNew), sim.filter(!isNew), SIM_BANDS)
+          graft.operators.NearDup.simhash(newDocs),
+          corpusSimDf(s, dir), SIM_BANDS)
         .orderBy("doc_a", "doc_b")
     },
     Some(
