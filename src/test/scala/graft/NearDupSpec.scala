@@ -67,6 +67,12 @@ class NearDupSpec extends SparkSpecBase {
       val incB6 = NearDup.incrementalFromSimhash(simNew, simOld, 6)
         .collect().map(_.toSeq).toSet
       assert(incB6 == expected)
+
+      // the one-call derived-B entry point over raw (doc_id, text) batches
+      val newDocs = docs.filter(isNew)
+      val viaOp = NearDup.pairsIncremental(newDocs, simOld, docs.count())
+        .collect().map(_.toSeq).toSet
+      assert(viaOp == expected)
     } finally sim.unpersist()
   }
 
