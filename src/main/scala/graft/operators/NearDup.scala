@@ -132,7 +132,13 @@ object NearDup {
       .filter(col("na") || col("mb.is_new"))
       .select(least(col("da"), col("mb.doc_id")).as("doc_a"),
         greatest(col("da"), col("mb.doc_id")).as("doc_b"), col("hd"))
-    val intra = md.as("u").join(md.as("v"),
+    // intra pairs can only qualify inside groups holding ≥1 new member, so
+    // BOTH self-join sides pre-restrict to g_new groups — an old-only
+    // exact-duplicate group (the corpus's boilerplate clusters) must never
+    // enumerate its |group|²/2 pairs just to discard them; the residual
+    // (is_new ∨ is_new) then prunes old-old pairs within MIXED groups
+    val mdNew = md.join(g.filter(col("g_new")).select("gid"), Seq("gid"))
+    val intra = mdNew.as("u").join(mdNew.as("v"),
         col("u.gid") === col("v.gid") &&
           col("u.doc_id") < col("v.doc_id") &&
           (col("u.is_new") || col("v.is_new")))

@@ -314,6 +314,31 @@ object QueriesText {
   val SIM_BANDS = 4
   private val SIM_BAND_BITS = SIMHASH_BITS / SIM_BANDS
 
+  /** The B=4 Manku pair construction as a shared DuckDB CTE chain ending
+    * in `allp` (doc_a, doc_b, hd) — ONE copy of the oracle formulation,
+    * appended after `sim`; q44 selects it whole, q49 filters it to the
+    * batch. An oracle fix that touched only one copy would otherwise let
+    * the two silently diverge.
+    */
+  private val duckB4PairsCtes: String =
+    s"""g AS (SELECT simhash, min(doc_id) AS gid FROM sim GROUP BY simhash),
+       |md AS (SELECT sim.doc_id, g.gid FROM sim JOIN g USING (simhash)),
+       |bands AS (SELECT gid, simhash, i AS band_id,
+       |  (simhash >> (i * $SIM_BAND_BITS)) & ${(1L << SIM_BAND_BITS) - 1} AS band_key
+       |  FROM g, (SELECT unnest(range(0, $SIM_BANDS)) AS i) _i),
+       |gp AS (SELECT DISTINCT x.gid AS ga, y.gid AS gb,
+       |  bit_count(xor(x.simhash, y.simhash))::INT AS hd
+       |  FROM bands x JOIN bands y
+       |  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.gid < y.gid
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $HAMMING_MAX),
+       |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |  greatest(ma.doc_id, mb.doc_id) AS doc_b, hd
+       |  FROM gp JOIN md ma ON gp.ga = ma.gid JOIN md mb ON gp.gb = mb.gid),
+       |intra AS (SELECT u.doc_id AS doc_a, v.doc_id AS doc_b, 0::INT AS hd
+       |  FROM md u JOIN md v ON u.gid = v.gid AND u.doc_id < v.doc_id),
+       |allp AS (SELECT doc_a, doc_b, hd FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b, hd FROM intra)""".stripMargin
+
   private val q44 = Q("q44_dedup_simhash_pairs",
     // the operator's B=4 instance: blockBounds(4, 60) = four 15-bit blocks
     // and C(4,1)=4 single-block tables — byte-identical keys and band ids
@@ -323,23 +348,8 @@ object QueriesText {
       .orderBy("doc_a", "doc_b"),
     Some(
       s"""WITH $duckSimhashCte,
-         |g AS (SELECT simhash, min(doc_id) AS gid FROM sim GROUP BY simhash),
-         |md AS (SELECT sim.doc_id, g.gid FROM sim JOIN g USING (simhash)),
-         |bands AS (SELECT gid, simhash, i AS band_id,
-         |  (simhash >> (i * $SIM_BAND_BITS)) & ${(1L << SIM_BAND_BITS) - 1} AS band_key
-         |  FROM g, (SELECT unnest(range(0, $SIM_BANDS)) AS i) _i),
-         |gp AS (SELECT DISTINCT x.gid AS ga, y.gid AS gb,
-         |  bit_count(xor(x.simhash, y.simhash))::INT AS hd
-         |  FROM bands x JOIN bands y
-         |  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.gid < y.gid
-         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $HAMMING_MAX),
-         |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
-         |  greatest(ma.doc_id, mb.doc_id) AS doc_b, hd
-         |  FROM gp JOIN md ma ON gp.ga = ma.gid JOIN md mb ON gp.gb = mb.gid),
-         |intra AS (SELECT u.doc_id AS doc_a, v.doc_id AS doc_b, 0::INT AS hd
-         |  FROM md u JOIN md v ON u.gid = v.gid AND u.doc_id < v.doc_id)
-         |SELECT doc_a, doc_b, hd FROM crossp
-         |UNION ALL SELECT doc_a, doc_b, hd FROM intra
+         |$duckB4PairsCtes
+         |SELECT doc_a, doc_b, hd FROM allp
          |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** q49 — the INCREMENTAL near-dup path ([[graft.operators.NearDup
@@ -368,12 +378,43 @@ object QueriesText {
     */
   private val corpusSimChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Cheap filesystem fingerprint of the documents table (sorted
+    * name:size entries, md5'd): unlike the spans/frontier fixtures — whose
+    * content is GENERATED from the stamp's parameters — this fixture
+    * derives from an external table, so the stamp must change when the
+    * table is regenerated in place or the fixture would keep validating
+    * against stale signatures.
+    */
+  private def docsFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    val entries =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}")
+            .toSeq.sorted
+        } finally s.close()
+      } else Seq(s"${p.getFileName}:${java.nio.file.Files.size(p)}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   private def corpusSimDf(s: SparkSession, dir: String): DataFrame = {
+    // md5(dir) in the path: distinct dirs must never share a fixture path
+    // even when they sanitize identically (the stamp embeds the real dir,
+    // but the once-per-JVM fast path below trusts the path alone)
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val path = "/root/.graft/fixtures/corpus_sim_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + dirTag
     if (!corpusSimChecked.contains(path)) synchronized {
       Fixtures.ensure(path,
-        s"dir=$dir split=mod4 bits=$SIMHASH_BITS simhash-v1") { tmp =>
+        s"dir=$dir docs=${docsFingerprint(dir)} split=mod4 " +
+          s"bits=$SIMHASH_BITS simhash-v1") { tmp =>
         simhashDf(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       }
@@ -394,24 +435,8 @@ object QueriesText {
     },
     Some(
       s"""WITH $duckSimhashCte,
-         |g AS (SELECT simhash, min(doc_id) AS gid FROM sim GROUP BY simhash),
-         |md AS (SELECT sim.doc_id, g.gid FROM sim JOIN g USING (simhash)),
-         |bands AS (SELECT gid, simhash, i AS band_id,
-         |  (simhash >> (i * $SIM_BAND_BITS)) & ${(1L << SIM_BAND_BITS) - 1} AS band_key
-         |  FROM g, (SELECT unnest(range(0, $SIM_BANDS)) AS i) _i),
-         |gp AS (SELECT DISTINCT x.gid AS ga, y.gid AS gb,
-         |  bit_count(xor(x.simhash, y.simhash))::INT AS hd
-         |  FROM bands x JOIN bands y
-         |  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.gid < y.gid
-         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $HAMMING_MAX),
-         |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
-         |  greatest(ma.doc_id, mb.doc_id) AS doc_b, hd
-         |  FROM gp JOIN md ma ON gp.ga = ma.gid JOIN md mb ON gp.gb = mb.gid),
-         |intra AS (SELECT u.doc_id AS doc_a, v.doc_id AS doc_b, 0::INT AS hd
-         |  FROM md u JOIN md v ON u.gid = v.gid AND u.doc_id < v.doc_id)
-         |SELECT doc_a, doc_b, hd FROM (
-         |  SELECT doc_a, doc_b, hd FROM crossp
-         |  UNION ALL SELECT doc_a, doc_b, hd FROM intra)
+         |$duckB4PairsCtes
+         |SELECT doc_a, doc_b, hd FROM allp
          |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0
          |ORDER BY doc_a, doc_b""".stripMargin))
 

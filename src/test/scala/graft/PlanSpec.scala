@@ -58,13 +58,14 @@ class PlanSpec extends SparkSpecBase {
       s"exchange keyed on the word-set array:\n${arrayKeyed.mkString("\n")}")
   }
 
-  test("corpus-sized join sides carry no forced broadcast hint (q24/q26/q29/q30/q37/q44/q49)") {
+  test("corpus-sized join sides carry no forced broadcast hint (q24/q26/q29/q30/q37/q44/q46/q49)") {
     // scale rule: broadcast() of an unbounded table OOMs at 100 TB; only
     // AQE's runtime size measurement may pick a broadcast. A forced hint
     // shows up as ResolvedHint in the analyzed plan.
     for (n <- Seq("q24_dedup_minhash_pairs", "q26_dedup_ngram_jaccard",
         "q29_ann_ivf_cell", "q30_dedup_embed_nn", "q37_ann_lsh_hyperplane",
-        "q44_dedup_simhash_pairs", "q49_dedup_simhash_incremental")) {
+        "q44_dedup_simhash_pairs", "q46_dedup_simhash_b6",
+        "q49_dedup_simhash_incremental")) {
       val df = SparkEntry.queries(n)(spark, dir)
       val analyzed = df.queryExecution.analyzed.toString
       assert(!analyzed.contains("ResolvedHint"),
