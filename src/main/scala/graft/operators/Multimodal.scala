@@ -9,16 +9,27 @@ import org.apache.spark.sql.functions._
   * of a Pandas-UDF-over-mapInPandas pipeline: partition-local model init,
   * row batches in, feature rows out).
   *
-  * The metadata path is REAL: `parseImageHeader` reads width/height out of
-  * actual JPEG (SOF frame header) and PNG (IHDR chunk) container bytes with
-  * no codec library — pure header arithmetic. Only the pixel-decode /
-  * feature-embedding step is STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything else — schema, batch shape, partition-local "model"
-  * lifecycle, the typed output contract — is real and tested
-  * (MultimodalSpec).
+  * The image path is REAL end-to-end: `parseImageHeader` reads width/height
+  * out of actual JPEG (SOF frame header) and PNG (IHDR chunk) container
+  * bytes with pure header arithmetic (the cheap metadata-only scan, oracle-
+  * checked by q27), and `decodeImage` decodes the full pixel raster with the
+  * JDK's own codecs (`javax.imageio`, headless — no external library) and
+  * embeds it as an 8×8 box-averaged luma thumbnail: EMB_DIMS=64 floats,
+  * deterministic in the pixel content, dimensioned to feed the ANN queries
+  * (q28/q30 run over 64-dim vectors). Only NON-image media (audio
+  * waveform / video frame decode — codecs the JDK does not ship) fall back
+  * to `decodeStub`'s deterministic synthetic features; the stub is loudly
+  * marked. Schema, batch shape, partition-local decoder lifecycle, and the
+  * typed output contract are identical across both paths (MultimodalSpec).
   */
 object Multimodal {
+
+  /** Embedding width for every media kind: an 8×8 luma grid for decoded
+    * images, and the stub's synthetic vector for non-image media — one
+    * schema so downstream ANN joins never branch on kind.
+    */
+  val EMB_GRID = 8
+  val EMB_DIMS: Int = EMB_GRID * EMB_GRID
 
   /** Pure-JVM image dimension parse: (format, width, height) from real
     * container headers, None when the payload is not a recognized image
@@ -78,11 +89,66 @@ object Multimodal {
       n_frames: Int,
       embedding: Array[Float])
 
-  /** STUB for the pixel decoder + feature embedder (e.g. JPEG entropy
-    * decode + resize + CNN features) — the only remaining stub: real
-    * container METADATA comes from parseImageHeader above. Deterministic
-    * in the payload bytes; replace with a real codec where the libraries
-    * exist. Marked intentionally — do not "fix".
+  /** REAL pixel decode + embedding for image payloads, no external
+    * dependency: the JDK ships JPEG and PNG codecs (`javax.imageio`,
+    * headless). Returns None when the bytes are not a decodable image
+    * (→ caller falls back to the stub's synthetic features).
+    *
+    * The embedding is an 8×8 box-averaged luma thumbnail (Rec.601 luma,
+    * normalized to [0,1], row-major EMB_DIMS floats) — a deterministic
+    * stand-in for a learned encoder with the same Spark-side contract
+    * (fixed-width Array[Float] per row, partition-local decoder reuse),
+    * and the canonical perceptual-hash front half (aHash/pHash start from
+    * exactly this grid). Swapping in a CNN changes only this function.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    // corrupt/truncated bytes surface as IIOException or, from some codec
+    // internals, unchecked exceptions — every decode failure means the same
+    // thing here: not a decodable image
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val emb = new Array[Float](EMB_DIMS)
+      var gy = 0
+      while (gy < EMB_GRID) {
+        // proportional cells; a cell never starts past the raster
+        // (gy*h/8 <= 7h/8 < h) and always covers >= 1 pixel row/col
+        val y0 = gy * h / EMB_GRID
+        val y1 = math.min(h, math.max((gy + 1) * h / EMB_GRID, y0 + 1))
+        var gx = 0
+        while (gx < EMB_GRID) {
+          val x0 = gx * w / EMB_GRID
+          val x1 = math.min(w, math.max((gx + 1) * w / EMB_GRID, x0 + 1))
+          var sum = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          emb(gy * EMB_GRID + gx) =
+            (sum / ((x1 - x0).toLong * (y1 - y0) * 255.0)).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      Some((w, h, emb))
+    }
+  }
+
+  /** STUB for NON-image media (audio waveform / video frame decode — codecs
+    * the JDK does not ship; image payloads take the REAL `decodeImage` path
+    * above). Deterministic in the payload bytes; replace with a real codec
+    * where the libraries exist. Marked intentionally — do not "fix".
     */
   def decodeStub(payload: Array[Byte], kind: String): (Int, Int, Int, Array[Float]) = {
     var h = 0xcafef00dL
@@ -91,10 +157,10 @@ object Multimodal {
     val w = 64 + ((h & Long.MaxValue) % 960).toInt
     val ht = 64 + ((graft.gen.SimWeb.splitmix(h) & Long.MaxValue) % 960).toInt
     val frames = if (kind == "video") 1 + ((h & Long.MaxValue) % 30).toInt else 1
-    val emb = new Array[Float](16)
+    val emb = new Array[Float](EMB_DIMS)
     var j = 0
     var hh = h
-    while (j < 16) {
+    while (j < EMB_DIMS) {
       hh = graft.gen.SimWeb.splitmix(hh)
       emb(j) = ((hh & Long.MaxValue) % 2000 - 1000) / 1000.0f
       j += 1
@@ -110,21 +176,32 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // partition-local heavyweight init would go here (decoder contexts,
-      // model weights); amortized over the whole partition like the
-      // reference's per-process browser (SURVEY R3)
-      val decoderReady = true
-      require(decoderReady)
+      // partition-local heavyweight init, amortized over the whole
+      // partition like the reference's per-process browser (SURVEY R3):
+      // pin ImageIO headless + cacheless ONCE per task, not per row (a
+      // disk-backed stream cache would put a temp-file create/delete on
+      // every decode)
+      java.lang.System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val (sw, sh, f, emb) = decodeStub(r.payload, r.kind)
-        // real container headers win for image rows; other kinds keep the
-        // stub dimensions — an audio/video payload can legitimately START
-        // with JPEG/PNG magic (embedded cover art), and parsing that would
-        // silently assign the artwork's dimensions to the track
-        val (w, h) = (if (r.kind == "image") parseImageHeader(r.payload)
-          else None)
-          .map { case (_, pw, ph) => (pw, ph) }
-          .getOrElse((sw, sh))
+        // real pixel decode for image rows (JDK codecs); audio/video — and
+        // image rows whose bytes don't decode — fall back to the stub.
+        // Kind gates the decode: an audio/video payload can legitimately
+        // START with JPEG/PNG magic (embedded cover art), and decoding
+        // that would silently assign the artwork's features to the track.
+        val decoded = if (r.kind == "image") decodeImage(r.payload) else None
+        val (w, h, f, emb) = decoded match {
+          case Some((pw, ph, pemb)) => (pw, ph, 1, pemb)
+          case None =>
+            val (sw, sh, sf, semb) = decodeStub(r.payload, r.kind)
+            // undecodable image bytes may still carry a parseable container
+            // header (truncated file): metadata stays real where it can be
+            val (hw, hh) = (if (r.kind == "image") parseImageHeader(r.payload)
+              else None)
+              .map { case (_, pw, ph) => (pw, ph) }
+              .getOrElse((sw, sh))
+            (hw, hh, sf, semb)
+        }
         MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, f, emb)
       }
     }

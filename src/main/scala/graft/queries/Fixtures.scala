@@ -21,8 +21,12 @@ object Fixtures {
 
   def stampOk(dir: File, stamp: String): Boolean = {
     val m = new File(dir, "_GRAFT_STAMP")
-    m.isFile &&
+    // isFile→read has a TOCTOU window: a racing JVM's move-aside rename can
+    // remove the stamp between the check and the read. A vanished stamp is
+    // just "stale — rebuild/re-validate", never a crash.
+    try m.isFile &&
       new String(java.nio.file.Files.readAllBytes(m.toPath)) == stamp
+    catch { case _: java.io.IOException => false }
   }
 
   /** Ensure `targetPath` holds a stamped fixture, building via `build`

@@ -380,24 +380,29 @@ object QueriesText {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Cheap filesystem fingerprint of the documents table (sorted
-    * name:size entries, md5'd): unlike the spans/frontier fixtures — whose
-    * content is GENERATED from the stamp's parameters — this fixture
-    * derives from an external table, so the stamp must change when the
-    * table is regenerated in place or the fixture would keep validating
-    * against stale signatures.
+    * relpath:size:mtime entries over the FULL tree, md5'd): unlike the
+    * spans/frontier fixtures — whose content is GENERATED from the stamp's
+    * parameters — this fixture derives from an external table, so the stamp
+    * must change when the table is regenerated in place or the fixture would
+    * keep validating against stale signatures. Recursive walk + mtimes so an
+    * in-place regeneration with identical names+sizes, or a change inside a
+    * nested partition subdirectory, still flips the stamp.
     */
   private def docsFingerprint(dir: String): String = {
     val p = java.nio.file.Paths.get(dir, "documents.parquet")
     val entries =
       if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
+        val s = java.nio.file.Files.walk(p)
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala
-            .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}")
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)
             .toSeq.sorted
         } finally s.close()
-      } else Seq(s"${p.getFileName}:${java.nio.file.Files.size(p)}")
+      } else Seq(s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
     java.security.MessageDigest.getInstance("MD5")
       .digest(entries.mkString(",").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
@@ -411,14 +416,17 @@ object QueriesText {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val path = "/root/.graft/fixtures/corpus_sim_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + dirTag
-    if (!corpusSimChecked.contains(path)) synchronized {
-      Fixtures.ensure(path,
-        s"dir=$dir docs=${docsFingerprint(dir)} split=mod4 " +
-          s"bits=$SIMHASH_BITS simhash-v1") { tmp =>
+    // fast-path key includes the stamp (hence the docs fingerprint), so a
+    // mid-session in-place regeneration of the table re-validates instead
+    // of silently probing stale persisted signatures
+    val stamp = s"dir=$dir docs=${docsFingerprint(dir)} split=mod4 " +
+      s"bits=$SIMHASH_BITS simhash-v1"
+    if (!corpusSimChecked.contains(s"$path|$stamp")) synchronized {
+      Fixtures.ensure(path, stamp) { tmp =>
         simhashDf(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       }
-      corpusSimChecked.add(path)
+      corpusSimChecked.add(s"$path|$stamp")
     }
     s.read.parquet(path)
   }

@@ -165,12 +165,18 @@ object RecordSink {
     }
     val manifestTags = manifests.map(p =>
       p.getName.stripPrefix("manifest-").stripSuffix(".json")).toSet
-    // both batch-name generations: with the attempt id (current) and
-    // without (pre-attempt-disjoint emissions)
-    val batchName = "^batch-(.*)-p\\d+(?:-a\\d+)?-\\d+\\.json$".r
+    // Legacy fallback applies ONLY to pre-attempt-disjoint names (no
+    // `-a<attempt>` segment): current-generation writers ALWAYS emit the
+    // attempt id, so an attempt-tagged file whose tag has no manifest is
+    // crash debris — an emission that died between task writes and the
+    // driver's manifest commit — and reading it back would reopen exactly
+    // the partial/duplicate window the manifest closes (possibly mixing
+    // two attempts' differently-packed batches of one partition).
+    val batchName = "^batch-(.*)-p\\d+(-a\\d+)?-\\d+\\.json$".r
     val legacy = entries.collect {
       case p if (p.getName match {
-        case batchName(tag) => !manifestTags.contains(tag)
+        case batchName(tag, attempt) =>
+          attempt == null && !manifestTags.contains(tag)
         case _ => false
       }) => p.toString
     }

@@ -276,6 +276,13 @@ class EngineSpec extends SparkSpecBase {
     java.nio.file.Files.writeString(topic.resolve("manifest-e1.json"),
       """{"files":["batch-e1-p0-a7-0.json","batch-e1-p0-a7-1.json"]}""")
     put("batch-old-p0-0.json", "legacy") // pre-manifest generation, no manifest
+    // crash debris: a CURRENT-generation emission (attempt-tagged names)
+    // that died between task writes and the driver's manifest commit —
+    // possibly two attempts of one partition with different batch packing.
+    // It must NOT be read back as "legacy": that would reopen the
+    // partial/duplicate window the manifest exists to close.
+    put("batch-crashed-p0-a3-0.json", "x1", "x2")
+    put("batch-crashed-p0-a5-0.json", "x2", "x1") // second attempt, same rows
     val got = graft.sinks.RecordSink.readTopic(spark, topic.toString)
       .select("key").collect().map(_.getString(0)).sorted
     assert(got.toSeq == Seq("legacy", "r1", "r2", "r3"),

@@ -26,7 +26,7 @@ class MultimodalSpec extends SparkSpecBase {
       assert(nBytes == textLens(id))
       assert(w >= 64 && w < 1024 && h >= 64 && h < 1024)
       assert(fr >= 1 && fr <= 30)
-      assert(emb.length == 16)
+      assert(emb.length == Multimodal.EMB_DIMS)
     }
   }
 
@@ -84,6 +84,94 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(3L)._1 >= 64 && got(3L)._1 < 1024)
     assert(got(4L) !== ((300, 300)),
       "audio row took its cover art's dimensions")
+  }
+
+  /** A real encoded image (JDK codec round-trip): a deterministic
+    * horizontal gradient so the luma embedding has checkable structure.
+    */
+  private def encodedImage(fmt: String, w: Int, h: Int,
+      shade: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = shade(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
+    out.toByteArray
+  }
+
+  test("real pixel decode: decoded dims equal header-parsed dims for JDK-encoded PNG and JPEG") {
+    for (fmt <- Seq("png", "jpg"); (w, h) <- Seq((320, 200), (37, 11), (5, 3))) {
+      val bytes = encodedImage(fmt, w, h, (x, y) => (x * 7 + y * 13) % 256)
+      val Some((dw, dh, emb)) = Multimodal.decodeImage(bytes)
+      val Some((hdrFmt, hw, hh)) = Multimodal.parseImageHeader(bytes)
+      assert((dw, dh) === ((w, h)), s"$fmt decode dims")
+      assert((hw, hh) === ((w, h)), s"$fmt header dims")
+      assert(hdrFmt === (if (fmt == "png") "png" else "jpeg"))
+      assert(emb.length === Multimodal.EMB_DIMS)
+      assert(emb.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+
+  test("luma embedding reflects actual pixel content (not a byte hash)") {
+    val black = Multimodal.decodeImage(
+      encodedImage("png", 64, 64, (_, _) => 0)).get._3
+    val white = Multimodal.decodeImage(
+      encodedImage("png", 64, 64, (_, _) => 255)).get._3
+    assert(black.forall(_ < 0.02f))
+    assert(white.forall(_ > 0.98f))
+    // left-dark / right-bright split: each grid row's leftmost cell is
+    // darker than its rightmost
+    val split = Multimodal.decodeImage(
+      encodedImage("png", 64, 64, (x, _) => if (x < 32) 0 else 255)).get._3
+    for (gy <- 0 until Multimodal.EMB_GRID) {
+      assert(split(gy * Multimodal.EMB_GRID) < 0.1f)
+      assert(split(gy * Multimodal.EMB_GRID + Multimodal.EMB_GRID - 1) > 0.9f)
+    }
+    // JPEG is lossy but the gross structure must survive the round-trip
+    val splitJpg = Multimodal.decodeImage(
+      encodedImage("jpg", 64, 64, (x, _) => if (x < 32) 0 else 255)).get._3
+    for (gy <- 0 until Multimodal.EMB_GRID) {
+      assert(splitJpg(gy * Multimodal.EMB_GRID) <
+        splitJpg(gy * Multimodal.EMB_GRID + Multimodal.EMB_GRID - 1))
+    }
+  }
+
+  test("decoded image embeddings feed the ANN top-k shape (q28/q30 contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 20 real images: two visual clusters (dark gradient vs bright gradient)
+    val media = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0 else 200
+      Multimodal.MediaRow(i, "image",
+        encodedImage("png", 48, 48, (x, y) => base + ((x + y + i.toInt) % 55)))
+    }.toDS()
+    val feats = Multimodal.extractFeatures(media)
+      .select(col("media_id"), transform(col("embedding"),
+        x => x.cast("double")).as("vec"))
+    // same 64-dim shape the embeddings table feeds q28/q30; same codegen'd
+    // dot-product expression
+    val q = feats.select(col("media_id").as("q_id"), col("vec").as("q_vec"))
+      .filter(col("q_id") < 4)
+    // cosine, not raw dot: luma vectors are all-positive, so magnitude
+    // (overall brightness) would otherwise dominate shape
+    val scored = q.crossJoin(feats.filter(col("media_id") >= 4))
+      .withColumn("sim", graft.plans.DotProduct(col("q_vec"), col("vec")) /
+        sqrt(graft.plans.DotProduct(col("q_vec"), col("q_vec")) *
+          graft.plans.DotProduct(col("vec"), col("vec"))))
+    val top1 = scored.withColumn("rk",
+        row_number().over(Window.partitionBy("q_id").orderBy(
+          col("sim").desc, col("media_id"))))
+      .filter(col("rk") === 1)
+      .select("q_id", "media_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1.size === 4)
+    // nearest neighbor of each query lands in its own visual cluster
+    top1.foreach { case (qid, nn) => assert(qid % 2 === nn % 2,
+      s"query $qid matched cross-cluster neighbor $nn") }
   }
 
   test("video rows get multi-frame counts, images single") {
