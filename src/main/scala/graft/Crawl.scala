@@ -10,14 +10,18 @@ import graft.gen.SimWeb
   * one JSON line with per-epoch counters and URLs-fetched+deduped/sec.
   *
   * Usage: runMain graft.Crawl <storeDir> <seeds> <nHosts> <epochs>
-  *   [budgetMs] [compactEvery]
+  *   [budgetMs] [compactEvery] [minorEvery]
   * Parallelism/partitions come from SPARK_GRAFT_CPUS (default 32) so the
   * same job can be run at two cluster sizes for the scaling-efficiency
   * evidence (BASELINE.md protocol). Seen-table AND frontier-log compaction
   * run every `compactEvery` epochs (default 4, 0 = off) — a long crawl
   * otherwise accumulates one seen partition directory + one frontier delta
   * dir per epoch, and the anti-join / merge-on-read scans pay per-file
-  * open costs forever.
+  * open costs forever. `minorEvery` (default 0 = off) adds MINOR frontier
+  * folds between the majors — delta-log resolve + head refresh, O(delta
+  * window), base untouched — the regime for stretching `compactEvery`
+  * 10-100× at the north-rule geometry (e.g. compactEvery=32 minorEvery=4
+  * vs the old compactEvery=4: same counters, 1/8th the base-rewrite bytes).
   *
   * SPARK_GRAFT_BLOOM_ROUTED=1 switches the seen-set prefilter to the
   * segment-ROUTED probe (no merged Bloom broadcast anywhere — the
@@ -33,6 +37,7 @@ object Crawl {
     val epochs = args.lift(3).map(_.toInt).getOrElse(3)
     val budgetMs = args.lift(4).map(_.toLong).getOrElse(60000L)
     val compactEvery = args.lift(5).map(_.toInt).getOrElse(4)
+    val minorEvery = args.lift(6).map(_.toInt).getOrElse(0)
     val seed = 42L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -67,6 +72,7 @@ object Crawl {
     val driver = new EpochDriver(spark, store, seed, nHosts,
       epochBudgetMs = budgetMs, compactSeenEvery = compactEvery,
       compactFrontierEvery = compactEvery,
+      compactDeltaEvery = minorEvery,
       bloomRouted = sys.env.get("SPARK_GRAFT_BLOOM_ROUTED").contains("1"),
       // SPARK_GRAFT_SCHED_HEAD=0 disables the frontier-head fast path
       // (full pending scan per epoch) — batches are identical either way;

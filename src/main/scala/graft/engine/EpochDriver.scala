@@ -61,6 +61,18 @@ final class EpochDriver(
     // as compactSeen bounds the seen partitions. View-identical, so also
     // not resume-guarded
     compactFrontierEvery: Int = 0,
+    // MINOR fold cadence (0 = off): every N epochs, resolve the delta LOG
+    // into one compact run (latest row per key — view-identical) and
+    // refresh the scheduler head from head ∪ delta (consumed rows swept,
+    // fresh rows absorbed, truncated to the remaining validity budget).
+    // Touches O(delta window) bytes — never the base — so the MAJOR
+    // (base-rewriting, O(pending)) fold cadence can stretch 10-100× while
+    // per-epoch scheduler reads stay O(hosts·K + deltas-since-minor): the
+    // head refresh re-dates the head, and the head path prunes delta files
+    // to seq > head_epoch (parquet min/max skips the folded run entirely).
+    // Pure execution strategy (batches, counters, views byte-identical —
+    // EngineSpec/FrontierLogSpec), so not resume-guarded
+    compactDeltaEvery: Int = 0,
     // schedule from the materialized frontier HEAD (top-K rows per host,
     // committed at each fold) instead of scanning the full pending
     // frontier every epoch. Batch-EXACT, never heuristic — see the head
@@ -157,12 +169,27 @@ final class EpochDriver(
     // all-or-nothing resume semantics: an uncommitted epoch partition is
     // both invisible to readers (epoch gate) and overwritten on re-run
     store.appendSeen(seen, 0L)
-    store.commit(0L,
-      replace = Map("frontier_base" -> frontier),
-      append = Map(
-        "seen_bloom" -> Bloom.buildSegments(seen, "canon_url", bloomSegments, bloomBitsPerSegment)),
-      counters = cfg + ("seeds" -> frontier.count()),
-      partitionedBy = Map("frontier_base" -> "state"))
+    // the head exists from epoch 0 (same slice a fold would build): the
+    // first fold-cadence window of epochs schedules from O(hosts·K) rows
+    // too, instead of scanning the full seed frontier until the first fold
+    val headK = (compactFrontierEvery.toLong + 1L) * cutRows
+    val headDf =
+      if (scheduleFromHead && compactFrontierEvery > 0 && headK > 0)
+        Some(Sched.headSlice(frontier, headK).cache())
+      else None
+    val headCommit = headDf.filter(h => !h.isEmpty)
+    try {
+      store.commit(0L,
+        replace = Map("frontier_base" -> frontier) ++
+          headCommit.map("frontier_head" -> _),
+        append = Map(
+          "seen_bloom" -> Bloom.buildSegments(seen, "canon_url", bloomSegments, bloomBitsPerSegment)),
+        counters = cfg + ("seeds" -> frontier.count()) ++
+          (if (headCommit.isDefined)
+            Map("head_epoch" -> 0L, "head_k" -> headK)
+          else Map.empty[String, Long]),
+        partitionedBy = Map("frontier_base" -> "state"))
+    } finally headDf.foreach(_.unpersist())
     ()
   }
 
@@ -212,20 +239,30 @@ final class EpochDriver(
       // counters first, table read last: a permanently stale head (e.g.
       // resume with folding off) must not pay a parquet schema read per
       // epoch just to be discarded
-      val headSrc: Option[DataFrame] =
+      val headSrc: Option[(DataFrame, Long)] =
         if (!scheduleFromHead) None
         else for {
           he <- m.counters.get("head_epoch")
           hk <- m.counters.get("head_k")
           if hk >= (epoch - he) * cutRows
           h <- store.readTable(m, "frontier_head")
-        } yield h
+        } yield (h, he)
       lastSchedSource = if (headSrc.isDefined) "head" else "full"
-      val pendingSrc = headSrc.getOrElse(
+      val pendingSrc = headSrc.map(_._1).getOrElse(
         store.readTable(m, "frontier_base").get)
-      val pending = FrontierLog.pending(
-          pendingSrc,
-          store.readTable(m, "frontier_delta"))
+      // head path: the head already resolves every delta row with
+      // seq <= head_epoch (a fold-built head post-dates the dropped log; a
+      // minor-refreshed head absorbed the folded run), so prune the delta
+      // scan to strictly newer rows — each delta file is one epoch, so
+      // parquet min/max stats on seq skip old files (and the whole folded
+      // run) at footer cost. The full-view fallback must NOT prune: the
+      // base pre-dates every delta row
+      val deltaAll = store.readTable(m, "frontier_delta")
+      val deltaSrc = headSrc match {
+        case Some((_, he)) => deltaAll.map(_.filter(col("seq") > he))
+        case None => deltaAll
+      }
+      val pending = FrontierLog.pending(pendingSrc, deltaSrc)
         .join(broadcast(robots.select("host", "crawl_delay_ms")), Seq("host"), "left")
         .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
       // cached: ranked is BATCH-sized after the budget cut, and both the
@@ -458,12 +495,92 @@ final class EpochDriver(
         // above survives commits that don't touch the head
         val headMeta = m.counters.view
           .filterKeys(k => k == "head_epoch" || k == "head_k").toMap
-        store.commit(epoch,
-          replace = Map.empty,
-          append = if (emptyDelta) appendTables
-            else appendTables + ("frontier_delta" -> deltaDf),
-          counters = cfg ++ counters ++ headMeta,
-          appendPaths = Map("fetch_result" -> Seq(fetchDir)))
+        // delta_rows: upper bound on the delta table's rows, carried for
+        // minor-fold file sizing only (a fold's repartition must track the
+        // run's magnitude, not a file-count constant). Major folds drop the
+        // log and the counter together
+        val deltaRowsBound =
+          m.counters.getOrElse("delta_rows", 0L) + deltaRows
+        val prevDelta = store.readTable(m, "frontier_delta")
+        // fold only when there is something to fold: new delta rows, or a
+        // log of more than one run (an empty epoch over an already-folded
+        // single run would rewrite identical bytes)
+        val minorFold = compactDeltaEvery > 0 &&
+          epoch % compactDeltaEvery == 0 &&
+          (if (emptyDelta) m.tables.get("frontier_delta").exists(_.size > 1)
+           else true) &&
+          (prevDelta.isDefined || !emptyDelta)
+        if (!minorFold) {
+          store.commit(epoch,
+            replace = Map.empty,
+            append = if (emptyDelta) appendTables
+              else appendTables + ("frontier_delta" -> deltaDf),
+            counters = cfg ++ counters ++ headMeta +
+              ("delta_rows" -> deltaRowsBound),
+            appendPaths = Map("fetch_result" -> Seq(fetchDir)))
+        } else {
+          // ---- MINOR fold: resolve the delta LOG into one run (latest row
+          // per key — view-identical, the same resolution the major fold
+          // would apply) and refresh the head from head ∪ delta. Touches
+          // O(delta window) bytes; the base is NEVER read or written here —
+          // this is what lets the major O(pending) rewrite cadence stretch
+          // while the delta list and the scheduler head stay compact.
+          val allDelta = (prevDelta, emptyDelta) match {
+            case (Some(p), false) => p.unionByName(deltaDf)
+            case (Some(p), true) => p
+            case (None, _) => deltaDf
+          }
+          val runDir = store.stagingDir("frontier_delta")
+          FrontierLog.resolve(allDelta)
+            .repartition(math.max(1L, math.min(deltaRowsBound / 1000000L + 1,
+              spark.sparkContext.defaultParallelism.toLong)).toInt)
+            .write.mode("overwrite").parquet(runDir)
+          // Head refresh: head' = top-K' per host of pending(head ∪ delta),
+          // K' = hk − (epoch − he)·cut (the budget not yet consumable since
+          // the head was built). Exactness: the head at `he` contained the
+          // true per-host top-hk; since then ≤ (epoch−he)·cut rows per host
+          // left pending (only scheduled rows transition) and every touched
+          // or fresh row is in the delta, so pending(head ∪ delta) ⊇ the
+          // true per-host top-K' — and its top-K' slice EQUALS the true
+          // top-K' (same total order as the scheduler). Re-dating the head
+          // to `epoch` with budget K' makes the standard validity check
+          // exact, and sweeps consumed rows out of storage. Skipped when
+          // K' < cut — such a head could never serve even the next epoch
+          // (and by the same arithmetic the old head is stale for every
+          // later epoch too, so keeping its meta unchanged is harmless)
+          val headRefresh: Option[(DataFrame, Long)] = for {
+            he <- m.counters.get("head_epoch")
+            hk <- m.counters.get("head_k")
+            kRem = hk - (epoch - he) * cutRows
+            if kRem >= cutRows
+            h <- store.readTable(m, "frontier_head")
+          } yield (Sched.headSlice(
+            FrontierLog.pendingResolved(h,
+              Some(allDelta.filter(col("seq") > he))), kRem).cache(), kRem)
+          headC = headRefresh.map(_._1)
+          // a drained head (all consumed, nothing fresh) must not commit:
+          // a row-less parquet dir breaks schema inference, and pending
+          // rows may still exist below the original cut — drop head + meta
+          // so later epochs take the exact full-view path
+          val headEmpty = headRefresh.exists(_._1.isEmpty)
+          store.commit(epoch,
+            replace = headRefresh match {
+              case Some((h, _)) if !headEmpty => Map("frontier_head" -> h)
+              case _ => Map.empty[String, DataFrame]
+            },
+            replacePaths = Map("frontier_delta" -> Seq(runDir)),
+            append = appendTables,
+            counters = cfg ++ counters ++
+              (headRefresh match {
+                case Some((_, k)) if !headEmpty =>
+                  Map("head_epoch" -> epoch, "head_k" -> k)
+                case Some(_) => Map.empty[String, Long] // drained: meta dropped
+                case None => headMeta.toMap // no refresh: carry unchanged
+              }) +
+              ("delta_rows" -> deltaRowsBound),
+            appendPaths = Map("fetch_result" -> Seq(fetchDir)),
+            drop = if (headEmpty) Set("frontier_head") else Set.empty)
+        }
       }
       // seen compaction is GENERATIONAL (tier-1: fold only this cadence
       // window's partitions — O(R × batch) I/O, older generations never

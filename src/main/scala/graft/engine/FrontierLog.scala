@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * resolve merge-on-read: latest row per canon_url by `seq` (transitions
   * are monotone — pending may repeat through retries, fetched/failed are
   * absorbing — and one epoch writes at most one row per URL, so `seq` is a
-  * total per-key order). Periodic compaction folds base+deltas into a new
-  * base and drops the log, bounding the delta scan like `compactSeen`
-  * bounds the seen table's epoch partitions.
+  * total per-key order). Compaction is two-tier: MINOR folds (EpochDriver
+  * `compactDeltaEvery`) resolve the delta log into one run and refresh the
+  * scheduler head — O(delta window), base untouched — while MAJOR folds
+  * (`compactFrontierEvery`) rewrite base+deltas and archive terminals —
+  * O(pending), so their cadence stretches 10-100× once minor folds keep the
+  * log compact. Both are view-identical, like `compactSeen`.
   */
 object FrontierLog {
 
@@ -78,8 +81,15 @@ object FrontierLog {
     * (FrontierLogSpec pins the equivalence on mixed histories).
     */
   def pending(base: DataFrame, delta: Option[DataFrame]): DataFrame =
+    pendingResolved(base, delta).drop("seq")
+
+  /** [[pending]] with `seq` retained — the minor-fold head refresh
+    * re-materializes its output as the next scheduler head, which must stay
+    * schema-identical to a fold-built head (FrontierLog.Cols). Same plan.
+    */
+  def pendingResolved(base: DataFrame, delta: Option[DataFrame]): DataFrame =
     delta match {
-      case None => base.filter(col("state") === "pending").drop("seq")
+      case None => base.filter(col("state") === "pending")
       case Some(d) =>
         val dKeys = d.select("canon_url").distinct()
         val dTerminal = d.filter(col("state") =!= "pending")
@@ -89,6 +99,5 @@ object FrontierLog {
         base.filter(col("state") === "pending")
           .join(dKeys, Seq("canon_url"), "left_anti")
           .unionByName(dPending)
-          .drop("seq")
     }
 }

@@ -21,44 +21,92 @@ import graft.functions.{Banding, Canon, TextFns}
   */
 object NearDup {
 
-  /** Informative width of the packed simhash: token hashes come from
+  /** Informative width of the ORACLE-PARITY simhash: token hashes come from
     * Canon.md5Long (first 15 hex digits of md5 = 60 bits), so vote bits
     * 60-63 are always negative and never set. QueriesText.SIMHASH_BITS
     * (the oracle mirror's geometry) aliases this value.
     */
   val SimhashBits = 60
 
-  /** (doc_id, simhash) over a (doc_id, text) corpus — SimHash packed long
-    * over [[SimhashBits]] informative bits, computed by the explode/groupBy
-    * formulation (scales linearly; no 60-way expression blowup). The pack
-    * is a sum of disjoint-bit terms, max term 1<<59, so no partial sum
-    * overflows.
+  /** Width of the PRODUCTION simhash: Spark's codegen'd `xxhash64` uses the
+    * full 64 bits and hashes ~10× faster than the md5 prefix (md5 exists
+    * only so the DuckDB oracle can reproduce signatures bit-for-bit —
+    * QueriesText q23-q25 keep it; the operator default does not).
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  val XxHashBits = 64
+
+  /** The production token hash — one codegen'd expression, no digest
+    * allocation per token.
+    */
+  def xxTokenHash(c: Column): Column = xxhash64(c)
+
+  /** Lane geometry for the packed vote aggregation: 3 bit-counters of 21
+    * bits per 64-bit sum. Bounds: a document may carry up to 2^21 (~2M)
+    * DISTINCT tokens before a lane overflows into its neighbor — a ~20 MB+
+    * pathological document; the web corpus this engine crawls caps pages
+    * far below that.
+    */
+  private val LaneBits = 21
+  private val LanesPerPack = 3
+
+  /** (doc_id, simhash) over a (doc_id, text) corpus — SimHash packed long
+    * over `hashBits` informative bits of `tokenHash`, computed by the
+    * explode/groupBy formulation (scales linearly; no 60-way expression
+    * blowup). Defaults are the oracle-parity md5/60 geometry; the
+    * production entry points pass xxhash64/64.
+    *
+    * The per-bit majority votes aggregate PACKED: bit b's 0/1 count rides
+    * lane (b mod 3) of packed sum ⌊b/3⌋ — ⌈bits/3⌉ sum() buffers instead of
+    * one per bit, with no branch per (token, bit). Exact: lanes are wide
+    * enough that counts never carry across (LaneBits above), and the old
+    * ±1 vote `sum(bit ? 1 : -1) > 0` is algebraically `2·count(bit) > n`.
+    * The final pack is a sum of disjoint-bit terms — disjoint bits never
+    * carry, so the sum is the bitwise OR even when bit 63's term is
+    * negative.
+    */
+  def simhash(docs: DataFrame, hashBits: Int = SimhashBits,
+      tokenHash: Column => Column = Canon.md5Long): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
-      .withColumn("h", Canon.md5Long(col("tok")))
-    val votes = (0 until SimhashBits).map { b =>
-      sum(when(pmod(shiftright(col("h"), b), lit(2L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$b")
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
+    val nPacks = (hashBits + LanesPerPack - 1) / LanesPerPack
+    val packs = (0 until nPacks).map { p =>
+      val terms = (0 until LanesPerPack).flatMap { lane =>
+        val b = p * LanesPerPack + lane
+        // arithmetic shiftright replicates the sign bit; &1 still reads
+        // bit 63 correctly (two's complement)
+        if (b < hashBits)
+          Some(shiftleft(shiftright(col("h"), b).bitwiseAND(lit(1L)),
+            lane * LaneBits))
+        else None
+      }
+      sum(terms.reduce(_ + _)).as(s"p$p")
     }
+    val aggCols = packs :+ count(lit(1)).as("n")
     toks.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
       .select(col("doc_id"),
-        (0 until SimhashBits)
-          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        (0 until hashBits).map { b =>
+          val s = shiftright(col(s"p${b / LanesPerPack}"),
+              (b % LanesPerPack) * LaneBits)
+            .bitwiseAND(lit((1L << LaneBits) - 1))
+          when(s * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** All doc pairs within hamming distance ≤ [[Banding.HD]] over a corpus
     * of (doc_id, text) rows, blocked at the B that [[Banding.blocksFor]]
-    * derives for `expectedDocs` — the one-call 100 TB entry point.
+    * derives for `expectedDocs` — the one-call 100 TB entry point. Hashing
+    * DEFAULTS to the production xxhash64/64 path; pass
+    * (SimhashBits, Canon.md5Long) for the oracle-parity signatures.
     * Output: (doc_a, doc_b, hd), doc_a < doc_b, unordered.
     */
-  def pairs(docs: DataFrame, expectedDocs: Long): DataFrame =
-    pairsFromSimhash(simhash(docs),
-      Banding.blocksFor(expectedDocs, hashBits = SimhashBits))
+  def pairs(docs: DataFrame, expectedDocs: Long,
+      hashBits: Int = XxHashBits,
+      tokenHash: Column => Column = xxTokenHash): DataFrame =
+    pairsFromSimhash(simhash(docs, hashBits, tokenHash),
+      Banding.blocksFor(expectedDocs, hashBits = hashBits), hashBits)
 
   /** Near-dup pairs TOUCHING a new ingest batch, probed against a
     * persisted corpus signature table — the steady-state 100 TB operation:
@@ -77,9 +125,11 @@ object NearDup {
     * many old-old pairs exist.
     */
   def pairsIncremental(newDocs: DataFrame, corpusSim: DataFrame,
-      expectedDocs: Long): DataFrame =
-    incrementalFromSimhash(simhash(newDocs), corpusSim,
-      Banding.blocksFor(expectedDocs, hashBits = SimhashBits))
+      expectedDocs: Long,
+      hashBits: Int = XxHashBits,
+      tokenHash: Column => Column = xxTokenHash): DataFrame =
+    incrementalFromSimhash(simhash(newDocs, hashBits, tokenHash), corpusSim,
+      Banding.blocksFor(expectedDocs, hashBits = hashBits), hashBits)
 
   /** [[pairsIncremental]] over precomputed signatures. Same group-collapse
     * + banded-candidate + verify-once-per-group-pair shape as

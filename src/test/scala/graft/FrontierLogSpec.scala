@@ -280,8 +280,9 @@ class FrontierLogSpec extends SparkSpecBase {
     assert(h.frontier().collect().map(_.toSeq).toSet ==
       f.frontier().collect().map(_.toSeq).toSet,
       "head scheduling changed the frontier view")
-    // epochs 1-2 precede the first fold; 3-5 ride the epoch-2/epoch-4 heads
-    assert(sources.toSeq == Seq("full", "full", "head", "head", "head"),
+    // the head exists from init (same slice a fold builds), so every epoch
+    // schedules from it: 1-2 ride the init head, 3-5 the epoch-2/4 heads
+    assert(sources.toSeq == Seq("head", "head", "head", "head", "head"),
       s"head fast path not engaged as expected: $sources")
     // and the head really is host-bounded, not frontier-sized
     val m5 = hStore.latest().get
@@ -292,6 +293,62 @@ class FrontierLogSpec extends SparkSpecBase {
       s"head has $headRows rows — more than hosts * (R+1) * cut")
     assert(headRows < pendingRows / 5,
       s"test premise: head ($headRows) should be ≪ pending ($pendingRows)")
+  }
+
+  test("minor folds: major cadence stretches 8x with identical counters, base never rewritten between majors") {
+    // A = the old regime (major fold every 2 epochs, O(pending) rewrite
+    // each time); B = stretched majors (every 16 — never reached in this
+    // run) + minor folds every 2 (delta-log resolve + head refresh,
+    // O(delta window) only). The two must be byte-identical in counters
+    // and views while B rewrites the base ZERO times
+    val nHosts = 20
+    val seeds = SimWeb.seedUrls(4000, nHosts, seed)
+    val aStore = new SnapshotStore(tmpDir(), spark)
+    val bDir = tmpDir()
+    val bStore = new SnapshotStore(bDir, spark)
+    val a = new EpochDriver(spark, aStore, seed, nHosts,
+      epochBudgetMs = 2000L, compactFrontierEvery = 2)
+    val b = new EpochDriver(spark, bStore, seed, nHosts,
+      epochBudgetMs = 2000L, compactFrontierEvery = 16, compactDeltaEvery = 2)
+    a.init(seeds); b.init(seeds)
+    val initBase = bStore.latest().get.tables("frontier_base")
+    // the init head carries K = (16+1)*cut with cut derived from the
+    // actual robots delays — recover cut from the committed budget
+    val initK = bStore.latest().get.counters("head_k")
+    val cut = initK / 17L
+    assert(cut > 0 && initK == 17L * cut)
+    val bSources = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ma = (1 to 6).map(_ => a.runEpoch())
+    val mb = (1 to 6).map { _ =>
+      val m = b.runEpoch(); bSources += b.lastSchedSource; m
+    }
+    assert(ma == mb, "minor-fold regime changed epoch counters")
+    assert(a.frontier().collect().map(_.toSeq).toSet ==
+      b.frontier().collect().map(_.toSeq).toSet,
+      "minor-fold regime changed the frontier view")
+    // B scheduled every epoch from the head: init head (K = 17*cut) was
+    // refreshed at each minor fold and never went stale
+    assert(bSources.forall(_ == "head"),
+      s"head fast path lost across minor folds: $bSources")
+    val mbLast = bStore.latest().get
+    // THE scale pin: six epochs, zero base rewrites — the init base is
+    // carried forward by reference (A rewrote it three times by now)
+    assert(mbLast.tables("frontier_base") == initBase,
+      "minor-fold regime rewrote the frontier base")
+    // the delta log stays compact: one folded run + at most one newer dir
+    assert(mbLast.tables("frontier_delta").size <= 2,
+      s"delta log not folded: ${mbLast.tables("frontier_delta")}")
+    // head meta re-dated by the epoch-6 minor fold, budget decremented by
+    // the consumed window
+    assert(mbLast.counters("head_epoch") == 6L)
+    assert(mbLast.counters("head_k") == initK - 6L * cut)
+    // and a FRESH driver resumes the minor-folded store mid-cycle,
+    // producing A's next-epoch counters exactly
+    val b2 = new EpochDriver(spark, new SnapshotStore(bDir, spark),
+      seed, nHosts, epochBudgetMs = 2000L,
+      compactFrontierEvery = 16, compactDeltaEvery = 2)
+    val a7 = a.runEpoch()
+    assert(b2.runEpoch() == a7, "resume across a minor fold diverged")
   }
 
   test("an empty-head fold commits no row-less head table; next epoch survives on the full path") {

@@ -29,7 +29,10 @@ class NearDupSpec extends SparkSpecBase {
       val n = docs.count()
       val bDerived = Banding.blocksFor(n, hashBits = NearDup.SimhashBits)
       assert(bDerived == 4, s"sf0.001 corpus should derive B=4, got $bDerived")
-      assert(out(NearDup.pairs(docs, n)) == b4)
+      // oracle-parity hashing passed explicitly: the operator's DEFAULT is
+      // the production xxhash64/64 path (different signatures by design)
+      assert(out(NearDup.pairs(docs, n, NearDup.SimhashBits,
+        graft.functions.Canon.md5Long)) == b4)
 
       // a web-scale size hint derives a wider geometry (more, narrower-key
       // tables) and is STILL output-identical — recall never depends on B
@@ -69,11 +72,55 @@ class NearDupSpec extends SparkSpecBase {
       assert(incB6 == expected)
 
       // the one-call derived-B entry point over raw (doc_id, text) batches
+      // (corpus signatures are md5-based here, so the batch side must hash
+      // the same way — hashes must match the persisted signature table)
       val newDocs = docs.filter(isNew)
-      val viaOp = NearDup.pairsIncremental(newDocs, simOld, docs.count())
+      val viaOp = NearDup.pairsIncremental(newDocs, simOld, docs.count(),
+          NearDup.SimhashBits, graft.functions.Canon.md5Long)
         .collect().map(_.toSeq).toSet
       assert(viaOp == expected)
     } finally sim.unpersist()
+  }
+
+  test("production xxhash64 path: same dup structure as md5 on exact-dup clusters, derived 64-bit geometry") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 6 exact-duplicate clusters of 3 + 30 distinct documents: both hash
+    // families MUST agree on this corpus (identical texts hash identically
+    // under any hash; the distinct docs share no tokens, so their simhashes
+    // sit ~bits/2 apart — far outside HD under either width)
+    val texts = (0 until 6).flatMap { c =>
+      val t = (0 until 40).map(i => s"cluster${c}tok${i * 7 % 40}").mkString(" ")
+      Seq.fill(3)(t)
+    } ++ (0 until 30).map(d =>
+      (0 until 40).map(i => s"only${d}word${i}x${d * i}").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val expected = (0 until 6).flatMap { c =>
+      val ids = (c * 3 until c * 3 + 3).map(_.toLong)
+      for (a <- ids; b <- ids if a < b) yield Seq[Any](a, b, 0)
+    }.toSet
+    val viaXx = NearDup.pairs(docs, 48L).collect().map(_.toSeq).toSet
+    val viaMd5 = NearDup.pairs(docs, 48L, NearDup.SimhashBits,
+      graft.functions.Canon.md5Long).collect().map(_.toSeq).toSet
+    assert(viaXx == expected, s"xx path: $viaXx")
+    assert(viaMd5 == expected, "md5 path disagrees on exact-dup structure")
+    // and the xx simhash really uses the full 64-bit width (some corpus
+    // hash must set the top nibble md5Long can never reach)
+    val xxSim = NearDup.simhash(docs, NearDup.XxHashBits, NearDup.xxTokenHash)
+      .select("simhash").collect().map(_.getLong(0))
+    assert(xxSim.exists(h => (h >>> 60) != 0L),
+      "64-bit path never set bits 60-63")
+    // incremental xx path: batch = one member of cluster 5 (id 17) + one
+    // distinct doc (id 47) — probes xx corpus signatures, same contract
+    val isNew = col("doc_id") === 17 || col("doc_id") === 47
+    val corpusXx = NearDup.simhash(docs.filter(!isNew),
+      NearDup.XxHashBits, NearDup.xxTokenHash)
+    val incXx = NearDup.pairsIncremental(docs.filter(isNew), corpusXx, 48L)
+      .collect().map(_.toSeq).toSet
+    val fullTouching = viaXx.filter(p => p(0) == 17L || p(1) == 17L ||
+      p(0) == 47L || p(1) == 47L)
+    assert(fullTouching.nonEmpty && incXx == fullTouching)
   }
 
   test("operator simhash matches the q25 oracle-checked values") {
