@@ -79,6 +79,11 @@ object Crawl {
       // the knob exists for A/B measurement and for geometries where
       // hosts*K exceeds the pending set (head pays without saving)
       scheduleFromHead = !sys.env.get("SPARK_GRAFT_SCHED_HEAD").contains("0"),
+      // SPARK_GRAFT_NEARDUP=1: near-dup each epoch's fetched docs against
+      // the persisted corpus signatures (corpus_sim) and append the batch's
+      // signatures — the steady-state training-data ingest shape. Resume-
+      // guarded (cfg_neardup): a store carries the flag it was created with
+      nearDupDocs = sys.env.get("SPARK_GRAFT_NEARDUP").contains("1"),
       sinkDir = sys.env.get("SPARK_GRAFT_SINK_DIR"))
     if (store.latest().isEmpty)
       driver.init(SimWeb.seedUrls(nSeeds, nHosts, seed))

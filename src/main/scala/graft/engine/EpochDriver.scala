@@ -73,6 +73,15 @@ final class EpochDriver(
     // Pure execution strategy (batches, counters, views byte-identical —
     // EngineSpec/FrontierLogSpec), so not resume-guarded
     compactDeltaEvery: Int = 0,
+    // near-dup each epoch's fetched documents against the persisted corpus
+    // signature table and append the batch's signatures — the steady-state
+    // training-data-pipeline shape NearDup.pairsIncremental models (q49):
+    // per-epoch candidate work is O(batch × bucket occupancy), independent
+    // of corpus pair density, and the corpus_sim store grows by one
+    // (doc_id, simhash) row per fetched doc. RESUME-GUARDED (cfg_neardup):
+    // resuming a near-dup store with the flag off would stop accumulating
+    // signatures, silently under-reporting every later increment's pairs
+    nearDupDocs: Boolean = false,
     // schedule from the materialized frontier HEAD (top-K rows per host,
     // committed at each fold) instead of scanning the full pending
     // frontier every epoch. Batch-EXACT, never heuristic — see the head
@@ -131,6 +140,7 @@ final class EpochDriver(
     "cfg_bloom_segments" -> bloomSegments.toLong,
     "cfg_bloom_bits" -> bloomBitsPerSegment.toLong,
     "cfg_bloom_hash_version" -> Bloom.HashVersion,
+    "cfg_neardup" -> (if (nearDupDocs) 1L else 0L),
     "cfg_store_layout" -> EpochDriver.StoreLayoutVersion)
 
   /** Guard keys added after stores already existed: a manifest missing the
@@ -142,7 +152,8 @@ final class EpochDriver(
     * frontier_base/fetch_result tables to read).
     */
   private val cfgLegacyDefaults: Map[String, Long] =
-    Map("cfg_bloom_hash_version" -> 1L, "cfg_store_layout" -> 1L)
+    Map("cfg_bloom_hash_version" -> 1L, "cfg_store_layout" -> 1L,
+      "cfg_neardup" -> 0L)
 
   private def requireCfgMatch(counters: Map[String, Long]): Unit =
     cfg.foreach { case (k, v) =>
@@ -222,6 +233,7 @@ final class EpochDriver(
     var candDepthC: Option[DataFrame] = None
     var freshC: Option[DataFrame] = None
     var headC: Option[DataFrame] = None
+    var simNewC: Option[DataFrame] = None
     var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
       graft.operators.SegmentedBloom]] = None
     try {
@@ -384,6 +396,60 @@ final class EpochDriver(
           tag = s"e$epoch")
       }
 
+      // ---- incremental near-dup over the epoch's fetched documents (the
+      // q49 steady-state shape as an ENGINE stage): reassemble each ok
+      // doc's text from its spans in offset order (the q43 formulation),
+      // simhash the batch with the production xxhash64/64 path, probe the
+      // persisted corpus signatures — candidate work O(batch × bucket
+      // occupancy), old-old pairs never generated — and append the batch's
+      // signatures so the next epoch probes this one too. Banding geometry
+      // is re-derived per epoch from the cumulative doc count (B is a pure
+      // cost knob, never a recall knob — NearDupSpec), so signatures are
+      // geometry-free and a growing corpus widens its own banding.
+      val ndState: Option[(DataFrame, Option[DataFrame], Long, Long)] =
+        if (!nearDupDocs || nFetched == 0) None
+        else {
+          val batchDocs = okDocs
+            .select(col("doc_id"), explode(col("spans")).as("span"))
+            .groupBy("doc_id")
+            .agg(array_join(transform(array_sort(filter(
+                collect_list(struct(col("span.offset"), col("span.text"))),
+                x => x.getField("text") =!= "")),
+              x => x.getField("text")), " ").as("text"))
+          // cached: the pairs probe, the pair count and the commit write
+          // all consume the batch signatures
+          val simNew = graft.operators.NearDup.simhash(batchDocs,
+            graft.operators.NearDup.XxHashBits,
+            graft.operators.NearDup.xxTokenHash).cache()
+          simNewC = Some(simNew)
+          val simDocs = m.counters.getOrElse("sim_docs", 0L) + nFetched
+          val blocks = graft.functions.Banding.blocksFor(simDocs,
+            hashBits = graft.operators.NearDup.XxHashBits)
+          val corpusSim = store.readTable(m, "corpus_sim")
+          val pairsDf = (corpusSim match {
+            case Some(c) => graft.operators.NearDup.incrementalFromSimhash(
+              simNew, c.select("doc_id", "simhash"), blocks,
+              graft.operators.NearDup.XxHashBits)
+            case None => graft.operators.NearDup.pairsFromSimhash(
+              simNew, blocks, graft.operators.NearDup.XxHashBits)
+          }).withColumn("epoch", lit(epoch))
+          val nPairs = pairsDf.count()
+          Some((simNew, if (nPairs > 0) Some(pairsDf) else None,
+            simDocs, nPairs))
+        }
+      // sim_docs carries forward across empty/disabled epochs like
+      // delta_rows: a counter absent from one manifest would reset the
+      // cumulative count (and the derived banding geometry) on the next
+      val ndCounters: Map[String, Long] =
+        if (!nearDupDocs) Map.empty
+        else ndState match {
+          case Some((_, _, simDocs, nPairs)) =>
+            Map("sim_docs" -> simDocs, "neardup_pairs" -> nPairs)
+          case None =>
+            Map("sim_docs" -> m.counters.getOrElse("sim_docs", 0L),
+              "neardup_pairs" -> 0L)
+        }
+
       // seen + its Bloom segments are append-only: each epoch contributes
       // only its fresh URLs; seen goes to the bucketed table
       // (epoch-partitioned, idempotent overwrite — see SnapshotStore),
@@ -395,7 +461,9 @@ final class EpochDriver(
         "canon_url", bloomSegments, bloomBitsPerSegment)
       val appendTables = Map(
         "seen_bloom" -> bloomNew,
-        "metrics" -> metricsDf)
+        "metrics" -> metricsDf) ++
+        ndState.map { case (simNew, _, _, _) => "corpus_sim" -> simNew } ++
+        ndState.flatMap(_._2).map("neardup_pairs" -> _)
       // delta file sizing tracks the DELTA's row count (~1M rows/file,
       // capped at the session parallelism), so a small epoch writes one
       // file instead of one near-empty file per shuffle partition — the
@@ -480,7 +548,7 @@ final class EpochDriver(
             ("seen_bloom" -> bloomFolded),
           replacePaths = Map("frontier_base" -> Seq(foldDir)),
           append = appendTables - "seen_bloom",
-          counters = cfg ++ counters ++
+          counters = cfg ++ counters ++ ndCounters ++
             (if (headEmpty) Map.empty[String, Long]
              else Map("head_epoch" -> epoch, "head_k" -> headK)),
           appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
@@ -515,7 +583,7 @@ final class EpochDriver(
             replace = Map.empty,
             append = if (emptyDelta) appendTables
               else appendTables + ("frontier_delta" -> deltaDf),
-            counters = cfg ++ counters ++ headMeta +
+            counters = cfg ++ counters ++ ndCounters ++ headMeta +
               ("delta_rows" -> deltaRowsBound),
             appendPaths = Map("fetch_result" -> Seq(fetchDir)))
         } else {
@@ -570,7 +638,7 @@ final class EpochDriver(
             },
             replacePaths = Map("frontier_delta" -> Seq(runDir)),
             append = appendTables,
-            counters = cfg ++ counters ++
+            counters = cfg ++ counters ++ ndCounters ++
               (headRefresh match {
                 case Some((_, k)) if !headEmpty =>
                   Map("head_epoch" -> epoch, "head_k" -> k)
@@ -595,12 +663,13 @@ final class EpochDriver(
           store.compactSeen(epoch)
         else store.compactSeen(epoch, epoch - compactSeenEvery)
       }
-      counters
+      counters ++ ndCounters
     } finally {
       rankedC.foreach(_.unpersist())
       candDepthC.foreach(_.unpersist())
       freshC.foreach(_.unpersist())
       headC.foreach(_.unpersist())
+      simNewC.foreach(_.unpersist())
       bloomBc.foreach(_.destroy())
     }
   }

@@ -343,4 +343,72 @@ class EngineSpec extends SparkSpecBase {
     val m2 = b.runEpoch() // resumes from v1, runs epoch 2
     assert(m2("epoch") == 2L)
   }
+
+  test("epoch-loop near-dup: per-epoch pairs equal full-corpus pairs touching the batch; signatures accumulate; resume-identical") {
+    import graft.operators.NearDup
+    val dir = tmpDir()
+    val store = new SnapshotStore(dir, spark)
+    def nd(s: SnapshotStore) = new EpochDriver(spark, s, seed, nHosts,
+      epochBudgetMs = budget, nearDupDocs = true)
+    val d = nd(store)
+    d.init(seeds)
+    val ms = (1 to epochs).map(_ => d.runEpoch())
+    // enabling near-dup must not perturb the crawl itself
+    val plain = newDriver(tmpDir()); plain.init(seeds)
+    (1 to epochs).zip(ms).foreach { case (_, m) =>
+      val pm = plain.runEpoch()
+      assert(pm == m.view.filterKeys(k =>
+        k != "sim_docs" && k != "neardup_pairs").toMap,
+        "near-dup stage changed crawl counters")
+    }
+    val mLast = store.latest().get
+    // the corpus signature table holds exactly one row per fetched doc
+    val corpus = store.readTable(mLast, "corpus_sim").get
+    val totalFetched = ms.map(_("fetched")).sum
+    assert(mLast.counters("sim_docs") == totalFetched)
+    assert(corpus.count() == totalFetched)
+    assert(corpus.select("doc_id").distinct().count() == totalFetched,
+      "duplicate doc ids in corpus_sim")
+    // pin the oracle equality PER EPOCH: the pairs appended at epoch e must
+    // equal the full-construction pairs over docs(1..e) restricted to pairs
+    // touching epoch-e docs (the q49 contract, now inside the engine)
+    val fetchLog = store.readTable(mLast, "fetch_result").get
+      .filter(col("status") === "ok")
+    def docsThrough(e: Long) = fetchLog.filter(col("epoch") <= e)
+      .select(col("canon_url").as("doc_id"), explode(col("spans")).as("span"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(filter(
+          collect_list(struct(col("span.offset"), col("span.text"))),
+          x => x.getField("text") =!= "")),
+        x => x.getField("text")), " ").as("text"))
+    val pairsTable = store.readTable(mLast, "neardup_pairs")
+    (1 to epochs).foreach { e =>
+      val batchIds = fetchLog.filter(col("epoch") === e)
+        .select(col("canon_url").as("doc_id")).collect().map(_.getString(0)).toSet
+      val got = pairsTable.map(_.filter(col("epoch") === e)
+          .select("doc_a", "doc_b", "hd")
+          .collect().map(_.toSeq).toSet)
+        .getOrElse(Set.empty[Seq[Any]])
+      val n = fetchLog.filter(col("epoch") <= e).count()
+      val full = NearDup.pairs(docsThrough(e), n)
+        .collect().map(_.toSeq)
+        .filter(p => batchIds.contains(p(0).asInstanceOf[String]) ||
+          batchIds.contains(p(1).asInstanceOf[String])).toSet
+      assert(got == full, s"epoch $e near-dup pairs diverge from oracle")
+    }
+    // resume: a fresh driver continues the signature store exactly — its
+    // next epoch matches an uninterrupted twin's counters
+    val twinDir = tmpDir(); val twinStore = new SnapshotStore(twinDir, spark)
+    val twin = nd(twinStore); twin.init(seeds)
+    (1 to epochs).foreach(_ => twin.runEpoch())
+    val resumed = nd(new SnapshotStore(dir, spark))
+    assert(resumed.runEpoch() == twin.runEpoch(),
+      "resume across the near-dup store diverged")
+    // and the flag is resume-guarded in both directions
+    intercept[IllegalArgumentException] { newDriver(dir).runEpoch() }
+    intercept[IllegalArgumentException] {
+      val pd = tmpDir(); val p2 = newDriver(pd); p2.init(seeds); p2.runEpoch()
+      nd(new SnapshotStore(pd, spark)).runEpoch()
+    }
+  }
 }
