@@ -101,24 +101,55 @@ final class EpochDriver(
   import spark.implicits._
 
   private val defaultDelayMs = 2500L
+  // the INIT robots resolution (a real deployment fetches robots.txt for
+  // the seed hosts here): init commits these rows as the versioned `robots`
+  // store table, and every later epoch re-resolves robots FROM THE STORE —
+  // a mid-crawl update (stageRobotsUpdate) or a resume in a fresh JVM both
+  // see the table, never this generator
   private val robotsRows =
     Sched.robotsFor((0 until nHosts).map(graft.gen.SimWeb.hostName), seed)
   private val robots = Sched.robotsDf(spark, robotsRows)
-  /** Exact floor of every delay the scheduler can see: known hosts carry
-    * their robots delay, unknown hosts coalesce to `defaultDelayMs`. The
-    * per-host window pre-cut in rankAndBudget is exact only for a true
-    * floor, so it is DERIVED from the actual delay sources rather than
-    * trusting the Sched.MinCrawlDelayMs generator constant — retuning
-    * either delay source can never silently starve rows past the cut.
-    */
-  private val minDelayFloorMs: Long = math.min(defaultDelayMs,
-    robotsRows.map(_._2).minOption.getOrElse(defaultDelayMs))
 
-  /** Per-host upper bound on rows any single epoch can schedule — THE cut
-    * rankAndBudget applies, via the shared definition (head exactness
-    * requires the two to be the same value, not two copies of a formula).
+  /** Exact floor of every delay the scheduler can see under `rows`: known
+    * hosts carry their robots delay, unknown hosts coalesce to
+    * `defaultDelayMs`. The per-host window pre-cut in rankAndBudget is
+    * exact only for a true floor, so it is DERIVED from the actual delay
+    * rows rather than trusting the Sched.MinCrawlDelayMs generator
+    * constant — retuning either delay source can never silently starve
+    * rows past the cut.
+    */
+  private def floorOf(rows: Seq[(String, Long, Seq[String])]): Long =
+    math.min(defaultDelayMs, rows.map(_._2).minOption.getOrElse(defaultDelayMs))
+
+  private val minDelayFloorMs: Long = floorOf(robotsRows)
+
+  /** Per-host upper bound on rows any single epoch can schedule AT INIT —
+    * the shared Sched.budgetCut definition (head exactness requires the
+    * sizing/validity math and rankAndBudget to use the same value, not two
+    * copies of a formula). Epochs recompute the cut from the floor of the
+    * robots rows in effect; a head records the cut it was built under
+    * (`head_cut`) and is invalidated when the cut changes.
     */
   private val cutRows: Long = Sched.budgetCut(epochBudgetMs, minDelayFloorMs)
+
+  /** Queue a robots refresh (new (host, crawl_delay_ms, disallow) rows —
+    * the reference re-fetches robots.txt mid-crawl; the engine analog is a
+    * staged replacement of the versioned `robots` table). Takes effect at
+    * the NEXT runEpoch: that epoch schedules under the new rows and commits
+    * them (with the new delay floor) into its snapshot, so the update
+    * survives resume. A floor change changes the budget cut, which
+    * invalidates the materialized scheduler head (`head_cut` check) — the
+    * next epochs take the exact full-view path until a fold rebuilds it.
+    */
+  def stageRobotsUpdate(rows: Seq[(String, Long, Seq[String])]): Unit =
+    stagedRobots = Some(rows)
+
+  @volatile private var stagedRobots: Option[Seq[(String, Long, Seq[String])]] = None
+  // per-driver read-through cache of the committed robots table, keyed on
+  // the manifest's path list: the table is tiny but joined twice per epoch,
+  // and re-reading identical bytes every epoch would pay footer costs for
+  // nothing. Invalidation is exact — a robots replacement changes the paths
+  @volatile private var robotsCache: Option[(Seq[String], DataFrame)] = None
 
   /** Which source the last runEpoch scheduled from ("head" | "full") —
     * test/ops visibility for the head fast path.
@@ -191,13 +222,15 @@ final class EpochDriver(
     val headCommit = headDf.filter(h => !h.isEmpty)
     try {
       store.commit(0L,
-        replace = Map("frontier_base" -> frontier) ++
+        replace = Map("frontier_base" -> frontier, "robots" -> robots) ++
           headCommit.map("frontier_head" -> _),
         append = Map(
           "seen_bloom" -> Bloom.buildSegments(seen, "canon_url", bloomSegments, bloomBitsPerSegment)),
-        counters = cfg + ("seeds" -> frontier.count()) ++
+        counters = cfg +
+          ("seeds" -> frontier.count()) +
+          ("robots_floor_ms" -> minDelayFloorMs) ++
           (if (headCommit.isDefined)
-            Map("head_epoch" -> 0L, "head_k" -> headK)
+            Map("head_epoch" -> 0L, "head_k" -> headK, "head_cut" -> cutRows)
           else Map.empty[String, Long]),
         partitionedBy = Map("frontier_base" -> "state"))
     } finally headDf.foreach(_.unpersist())
@@ -227,6 +260,34 @@ final class EpochDriver(
     // arrives pre-partitioned by hash(canon_url) — no big-side Exchange
     val seen = store.readSeen(m.epoch)
 
+    // ---- robots in effect for THIS epoch (J3): a staged update wins (and
+    // is committed with this epoch's snapshot, so it survives resume); else
+    // the versioned store table (what every resume reads — the constructor
+    // generator is only the init resolution); a legacy pre-robots-table
+    // store self-migrates by committing the generator rows it crawled
+    // with. The delay floor rides the manifest counters, so the common
+    // path derives the cut with zero extra Spark work
+    val staged = stagedRobots
+    val (robotsEpoch, floorMs, robotsReplace) = staged match {
+      case Some(rows) =>
+        val df = Sched.robotsDf(spark, rows)
+        (df, floorOf(rows), Map("robots" -> df))
+      case None => m.tables.get("robots").filter(_.nonEmpty) match {
+        case Some(paths) =>
+          val df = robotsCache match {
+            case Some((p, d)) if p == paths => d
+            case _ =>
+              val d = store.readTable(m, "robots").get
+              robotsCache = Some((paths, d)); d
+          }
+          (df, m.counters.getOrElse("robots_floor_ms", minDelayFloorMs),
+            Map.empty[String, DataFrame])
+        case None => (robots, minDelayFloorMs, Map("robots" -> robots))
+      }
+    }
+    val cut = Sched.budgetCut(epochBudgetMs, floorMs)
+    val robotsMeta = Map("robots_floor_ms" -> floorMs)
+
     // epoch-scale caches + the Bloom broadcast, released in the finally
     // block so a failed commit (retried by the caller) cannot leak them
     var rankedC: Option[DataFrame] = None
@@ -251,12 +312,19 @@ final class EpochDriver(
       // counters first, table read last: a permanently stale head (e.g.
       // resume with folding off) must not pay a parquet schema read per
       // epoch just to be discarded
+      // head_cut: the budget cut the head was built under. A robots
+      // update that changes the delay floor changes the cut — per-host
+      // consumption bounds computed under one cut are meaningless under
+      // another (a RAISED floor shrinks the cut and would make the stale
+      // check UNDER-count past consumption), so any cut change simply
+      // invalidates the head until the next fold rebuilds it
       val headSrc: Option[(DataFrame, Long)] =
         if (!scheduleFromHead) None
         else for {
           he <- m.counters.get("head_epoch")
           hk <- m.counters.get("head_k")
-          if hk >= (epoch - he) * cutRows
+          if m.counters.getOrElse("head_cut", cutRows) == cut
+          if hk >= (epoch - he) * cut
           h <- store.readTable(m, "frontier_head")
         } yield (h, he)
       lastSchedSource = if (headSrc.isDefined) "head" else "full"
@@ -275,14 +343,14 @@ final class EpochDriver(
         case None => deltaAll
       }
       val pending = FrontierLog.pending(pendingSrc, deltaSrc)
-        .join(broadcast(robots.select("host", "crawl_delay_ms")), Seq("host"), "left")
+        .join(broadcast(robotsEpoch.select("host", "crawl_delay_ms")), Seq("host"), "left")
         .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
       // cached: ranked is BATCH-sized after the budget cut, and both the
       // fetch path and the frontier transitions consume it — without the
       // cache the second consumer recomputes the full pending-frontier
       // scan + window (a second O(frontier) pass per epoch)
       val ranked = Sched.rankAndBudget(pending, epochBudgetMs,
-        minDelayFloorMs).cache()
+        floorMs).cache()
       rankedC = Some(ranked)
       val batch = Sched.fetchBatch(ranked, epoch, saltBuckets,
         spark.sparkContext.defaultParallelism)
@@ -302,7 +370,7 @@ final class EpochDriver(
 
       // ---- extract (S2/D2) + canon (X14) + robots filter (J3/F3)
       val cand = Extract.canonCandidates(okDocs.select("doc_id", "spans"))
-      val candAllowed = Sched.allowed(cand, robots, defaultDelayMs)
+      val candAllowed = Sched.allowed(cand, robotsEpoch, defaultDelayMs)
         .select("canon_url", "host", "src_doc")
       val candDepth = candAllowed
         .join(okDocs.select(col("doc_id").as("src_doc"), col("depth")), Seq("src_doc"))
@@ -518,7 +586,7 @@ final class EpochDriver(
               store.movePath(s"$foldDir/state=$st", s"$arch/state=$st"))
             if (moved.isEmpty) Seq.empty else Seq(arch)
           }
-        val headK = (compactFrontierEvery.toLong + 1L) * cutRows
+        val headK = (compactFrontierEvery.toLong + 1L) * cut
         // cached: the emptiness probe below and the committed write both
         // consume the head — uncached, the per-host window over the fold's
         // full pending slice would execute twice per fold epoch
@@ -545,12 +613,13 @@ final class EpochDriver(
         store.commit(epoch,
           replace = (if (headEmpty) Map.empty[String, DataFrame]
             else Map("frontier_head" -> head)) +
-            ("seen_bloom" -> bloomFolded),
+            ("seen_bloom" -> bloomFolded) ++ robotsReplace,
           replacePaths = Map("frontier_base" -> Seq(foldDir)),
           append = appendTables - "seen_bloom",
-          counters = cfg ++ counters ++ ndCounters ++
+          counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
             (if (headEmpty) Map.empty[String, Long]
-             else Map("head_epoch" -> epoch, "head_k" -> headK)),
+             else Map("head_epoch" -> epoch, "head_k" -> headK,
+               "head_cut" -> cut)),
           appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
             (if (archDirs.nonEmpty) Map("frontier_archive" -> archDirs)
              else Map.empty),
@@ -562,7 +631,8 @@ final class EpochDriver(
         // head_epoch/head_k ride every manifest so the validity check
         // above survives commits that don't touch the head
         val headMeta = m.counters.view
-          .filterKeys(k => k == "head_epoch" || k == "head_k").toMap
+          .filterKeys(k => k == "head_epoch" || k == "head_k" ||
+            k == "head_cut").toMap
         // delta_rows: upper bound on the delta table's rows, carried for
         // minor-fold file sizing only (a fold's repartition must track the
         // run's magnitude, not a file-count constant). Major folds drop the
@@ -580,11 +650,11 @@ final class EpochDriver(
           (prevDelta.isDefined || !emptyDelta)
         if (!minorFold) {
           store.commit(epoch,
-            replace = Map.empty,
+            replace = robotsReplace,
             append = if (emptyDelta) appendTables
               else appendTables + ("frontier_delta" -> deltaDf),
-            counters = cfg ++ counters ++ ndCounters ++ headMeta +
-              ("delta_rows" -> deltaRowsBound),
+            counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
+              headMeta + ("delta_rows" -> deltaRowsBound),
             appendPaths = Map("fetch_result" -> Seq(fetchDir)))
         } else {
           // ---- MINOR fold: resolve the delta LOG into one run (latest row
@@ -616,11 +686,15 @@ final class EpochDriver(
           // K' < cut — such a head could never serve even the next epoch
           // (and by the same arithmetic the old head is stale for every
           // later epoch too, so keeping its meta unchanged is harmless)
+          // the refresh arithmetic is exact only under an unchanged cut
+          // (same reasoning as the scheduling validity check above): a cut
+          // change leaves the head un-refreshed and the check drops it
           val headRefresh: Option[(DataFrame, Long)] = for {
             he <- m.counters.get("head_epoch")
             hk <- m.counters.get("head_k")
-            kRem = hk - (epoch - he) * cutRows
-            if kRem >= cutRows
+            if m.counters.getOrElse("head_cut", cutRows) == cut
+            kRem = hk - (epoch - he) * cut
+            if kRem >= cut
             h <- store.readTable(m, "frontier_head")
           } yield (Sched.headSlice(
             FrontierLog.pendingResolved(h,
@@ -632,16 +706,16 @@ final class EpochDriver(
           // so later epochs take the exact full-view path
           val headEmpty = headRefresh.exists(_._1.isEmpty)
           store.commit(epoch,
-            replace = headRefresh match {
+            replace = (headRefresh match {
               case Some((h, _)) if !headEmpty => Map("frontier_head" -> h)
               case _ => Map.empty[String, DataFrame]
-            },
+            }) ++ robotsReplace,
             replacePaths = Map("frontier_delta" -> Seq(runDir)),
             append = appendTables,
-            counters = cfg ++ counters ++ ndCounters ++
+            counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
               (headRefresh match {
                 case Some((_, k)) if !headEmpty =>
-                  Map("head_epoch" -> epoch, "head_k" -> k)
+                  Map("head_epoch" -> epoch, "head_k" -> k, "head_cut" -> cut)
                 case Some(_) => Map.empty[String, Long] // drained: meta dropped
                 case None => headMeta.toMap // no refresh: carry unchanged
               }) +
@@ -663,6 +737,9 @@ final class EpochDriver(
           store.compactSeen(epoch)
         else store.compactSeen(epoch, epoch - compactSeenEvery)
       }
+      // the staged robots rows are durable in this epoch's snapshot now; a
+      // failed commit leaves them staged so the retry still applies them
+      if (staged.isDefined) stagedRobots = None
       counters ++ ndCounters
     } finally {
       rankedC.foreach(_.unpersist())

@@ -344,6 +344,75 @@ class EngineSpec extends SparkSpecBase {
     assert(m2("epoch") == 2L)
   }
 
+  test("robots live in the store: a mid-crawl update takes effect next epoch and survives resume") {
+    import graft.operators.Sched
+    // raise every host's delay to 4000 ms from epoch 3 on: each host then
+    // fits at most budget/min(4000, default)=3 fetches per epoch instead of
+    // budget/delay — a visible scheduling change
+    val updated = Sched.robotsFor((0 until nHosts).map(SimWeb.hostName), seed)
+      .map { case (h, _, dis) => (h, 4000L, dis) }
+    def driver(dir: String) = new EpochDriver(spark,
+      new SnapshotStore(dir, spark), seed, nHosts,
+      epochBudgetMs = budget, compactFrontierEvery = 2)
+    // A: update staged, then KILLED and resumed by a fresh driver (whose
+    // constructor generator still carries the ORIGINAL robots)
+    val dirA = tmpDir(); val a1 = driver(dirA)
+    a1.init(seeds); a1.runEpoch(); a1.runEpoch()
+    a1.stageRobotsUpdate(updated)
+    val a3 = a1.runEpoch()
+    val a2d = driver(dirA) // resume: must read UPDATED robots from the store
+    val a4 = a2d.runEpoch()
+    // B: same update, uninterrupted
+    val dirB = tmpDir(); val b = driver(dirB)
+    b.init(seeds); b.runEpoch(); b.runEpoch()
+    b.stageRobotsUpdate(updated)
+    assert(b.runEpoch() == a3 && b.runEpoch() == a4,
+      "robots update did not survive resume (fresh driver fell back to the generator rows)")
+    // C: no update — the update must actually have changed scheduling
+    val dirC = tmpDir(); val c = driver(dirC)
+    c.init(seeds); c.runEpoch(); c.runEpoch()
+    val c3 = c.runEpoch()
+    assert(c3("fetched") + c3("errors") > a3("fetched") + a3("errors"),
+      "raised robots delays did not shrink the epoch batch")
+    // the new floor rides the manifest (min of default 2500 and delays)
+    val mA = new SnapshotStore(dirA, spark).latest().get
+    assert(mA.counters("robots_floor_ms") == 2500L)
+    // the cut change invalidated the head: epoch 3 took the full path,
+    // and the epoch-4 fold rebuilt a head under the new cut
+    assert(a1.lastSchedSource == "full", "stale-cut head was not dropped")
+    assert(a2d.lastSchedSource == "full") // epoch 4 IS the fold epoch
+    assert(a2d.runEpoch()("epoch") == 5L)
+    assert(a2d.lastSchedSource == "head", "post-update fold did not rebuild the head")
+  }
+
+  test("a robots delay-floor DECREASE drops the head and stays batch-exact") {
+    import graft.operators.Sched
+    val orig = Sched.robotsFor((0 until nHosts).map(SimWeb.hostName), seed)
+    // drop one host's delay to 100 ms — the new global floor, so the
+    // budget cut GROWS (8000/100 = 80 rows/host); the old head (sized
+    // under the old cut) can no longer bound per-host consumption
+    val updated = orig.updated(0, (orig.head._1, 100L, orig.head._3))
+    def driver(dir: String, head: Boolean) = new EpochDriver(spark,
+      new SnapshotStore(dir, spark), seed, nHosts,
+      epochBudgetMs = budget, compactFrontierEvery = 2,
+      scheduleFromHead = head)
+    val dirA = tmpDir(); val a = driver(dirA, head = true)
+    a.init(seeds); a.runEpoch(); a.runEpoch()
+    assert(a.lastSchedSource == "head", "test premise: head in use pre-update")
+    a.stageRobotsUpdate(updated)
+    val a3 = a.runEpoch()
+    assert(a.lastSchedSource == "full", "decreased floor did not drop the head")
+    assert(new SnapshotStore(dirA, spark).latest().get
+      .counters("robots_floor_ms") == 100L)
+    // exactness: identical counters to a never-head twin under the same
+    // update (the full-view path is the ground truth)
+    val dirB = tmpDir(); val b = driver(dirB, head = false)
+    b.init(seeds); b.runEpoch(); b.runEpoch()
+    b.stageRobotsUpdate(updated)
+    assert(b.runEpoch() == a3, "head-drop path diverged from the full path")
+    assert(b.runEpoch() == a.runEpoch())
+  }
+
   test("epoch-loop near-dup: per-epoch pairs equal full-corpus pairs touching the batch; signatures accumulate; resume-identical") {
     import graft.operators.NearDup
     val dir = tmpDir()
