@@ -368,6 +368,28 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
     fc.rename(new HPath(src), d)
   }
 
+  /** File-level merge-move: rename every data file directly under `srcDir`
+    * into `dstDir` (created if needed) with `prefix` prepended — the
+    * directory-merge `movePath` refuses, for callers consolidating multiple
+    * committed parquet roots into one (archive-root folding). Rename-only:
+    * no bytes are rewritten, each file exists in exactly one of the two
+    * directories at every instant, and a caller whose manifest references
+    * BOTH directories therefore presents every row exactly once throughout.
+    * Skips marker files (`_SUCCESS`, dot-files). Returns files moved.
+    */
+  def moveFilesInto(srcDir: String, dstDir: String, prefix: String): Int = {
+    val src = new HPath(srcDir)
+    if (!fc.util.exists(src)) return 0
+    val dst = new HPath(dstDir)
+    fc.mkdir(dst, FsPermission.getDirDefault, true)
+    val files = fc.util.listStatus(src).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    files.foreach(st =>
+      fc.rename(st.getPath, new HPath(dst, prefix + st.getPath.getName)))
+    files.length
+  }
+
   /** Iceberg expire-snapshots analog: physically delete versioned data
     * directories (`data/<table>/v<K>`) that the LATEST manifest no longer
     * references. Without this, every `replace` commit (frontier compaction

@@ -73,6 +73,14 @@ final class EpochDriver(
     // Pure execution strategy (batches, counters, views byte-identical —
     // EngineSpec/FrontierLogSpec), so not resume-guarded
     compactDeltaEvery: Int = 0,
+    // cap on frontier_archive parquet roots: each fold-with-terminals
+    // appends one root, and an unbounded list grows the full-history view's
+    // union plan and every manifest linearly with crawl AGE. When a fold
+    // pushes the count past the cap, the older roots' files are MERGE-MOVED
+    // (file renames, zero rewrite) into the fold's fresh root and a second
+    // manifest swap retires them. Pure layout knob (view-identical,
+    // FrontierLogSpec), so not resume-guarded
+    archiveMaxRoots: Int = 8,
     // near-dup each epoch's fetched documents against the persisted corpus
     // signature table and append the batch's signatures — the steady-state
     // training-data-pipeline shape NearDup.pairsIncremental models (q49):
@@ -610,7 +618,7 @@ final class EpochDriver(
               prev.select("segment_id", "bloom").unionByName(bloomNew)
             case None => bloomNew
           })
-        store.commit(epoch,
+        val mFold = store.commit(epoch,
           replace = (if (headEmpty) Map.empty[String, DataFrame]
             else Map("frontier_head" -> head)) +
             ("seen_bloom" -> bloomFolded) ++ robotsReplace,
@@ -625,6 +633,29 @@ final class EpochDriver(
              else Map.empty),
           drop = if (headEmpty) Set("frontier_delta", "frontier_head")
             else Set("frontier_delta"))
+        // ---- archive-root consolidation (commit-before-move, rename-only):
+        // once the root list exceeds archiveMaxRoots, merge-move every
+        // OLDER root's files into this fold's fresh root, then swap the
+        // manifest to reference just that one. Crash-safe by ordering: the
+        // fold commit above already references old roots AND the target, a
+        // rename keeps each file in exactly one referenced location, so any
+        // crash mid-move leaves a view that is complete and duplicate-free —
+        // and still over-cap, so the NEXT fold's pass converges it (prefixes
+        // compose, names stay unique). Old roots end up holding only empty
+        // state dirs; after the swap they are unreferenced and expire
+        val archRoots = mFold.tables.getOrElse("frontier_archive", Seq.empty)
+        if (archDirs.nonEmpty && archRoots.size > archiveMaxRoots) {
+          val target = archDirs.head
+          archRoots.filterNot(_ == target).zipWithIndex.foreach {
+            case (root, i) =>
+              Seq("fetched", "failed").foreach(st =>
+                store.moveFilesInto(s"$root/state=$st",
+                  s"$target/state=$st", s"r$i-"))
+          }
+          store.commit(epoch, replace = Map.empty, append = Map.empty,
+            counters = mFold.counters,
+            replacePaths = Map("frontier_archive" -> Seq(target)))
+        }
       } else {
         // an all-empty epoch appends no delta: an empty parquet dir at the
         // head of the delta list would break schema inference on read.

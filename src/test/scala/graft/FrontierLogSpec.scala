@@ -256,6 +256,53 @@ class FrontierLogSpec extends SparkSpecBase {
     assert(d2.runEpoch()("epoch") == 5L)
   }
 
+  test("archive-root consolidation: root count bounded, rows identical, rename-only, resumable") {
+    val nHosts = 10
+    val seeds = SimWeb.seedUrls(40, nHosts, seed)
+    def mk(store: SnapshotStore, cap: Int) = new EpochDriver(spark, store,
+      seed, nHosts, epochBudgetMs = 8000L, compactFrontierEvery = 1,
+      archiveMaxRoots = cap)
+    val aDir = tmpDir(); val aStore = new SnapshotStore(aDir, spark)
+    val bStore = new SnapshotStore(tmpDir(), spark)
+    val a = mk(aStore, 2) // every epoch folds; consolidation from root 3 on
+    val b = mk(bStore, 1000) // never consolidates — the ground-truth layout
+    a.init(seeds); b.init(seeds)
+    (1 to 6).foreach { e =>
+      assert(a.runEpoch() == b.runEpoch(), s"counters diverged at epoch $e")
+      aStore.expireUnreferenced(); bStore.expireUnreferenced()
+      val roots = aStore.latest().get.tables
+        .getOrElse("frontier_archive", Seq.empty)
+      // a fold appends one root BEFORE consolidating, so cap+1 is the
+      // transient maximum ever committed; post-consolidation it is 1
+      assert(roots.size <= 3, s"epoch $e: ${roots.size} archive roots > cap+1")
+    }
+    val aRoots = aStore.latest().get.tables("frontier_archive")
+    val bRoots = bStore.latest().get.tables("frontier_archive")
+    assert(aRoots.size < bRoots.size, "test premise: consolidation never fired")
+    // view identity: archive rows (and the whole frontier view) survive
+    // every consolidation byte-for-byte
+    assert(a.frontier().collect().map(_.toSeq).toSet ==
+      b.frontier().collect().map(_.toSeq).toSet,
+      "consolidation changed the frontier view")
+    // rename-only, no loss, no duplication: same row count through the raw
+    // parquet roots (not the resolved view, which would hide duplicates)
+    val aArchRows = aRoots.map(r => spark.read.parquet(r).count()).sum
+    val bArchRows = bRoots.map(r => spark.read.parquet(r).count()).sum
+    assert(aArchRows == bArchRows, "consolidation lost or duplicated rows")
+    // expire reclaimed the retired roots: on disk only the referenced ones
+    // remain (plus the in-flight staging allowance)
+    val onDisk = {
+      val p = java.nio.file.Paths.get(aDir, "data", "frontier_archive")
+      val s = java.nio.file.Files.list(p)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.size } finally s.close()
+    }
+    assert(onDisk <= 3, s"retired archive roots not expired: $onDisk dirs on disk")
+    // resume over a consolidated store is clean and stays bounded
+    val a2 = mk(new SnapshotStore(aDir, spark), 2)
+    assert(a2.runEpoch() == b.runEpoch(), "resume after consolidation diverged")
+  }
+
   test("frontier head: scheduler reads a head-sized slice, batch-exact across fold cycles") {
     // many pending rows per host + a tight budget: the head
     // (K = (R+1)*cut rows per host) is a small fraction of pending — the
