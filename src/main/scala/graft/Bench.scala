@@ -43,10 +43,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.configure(spark)
 
+    def contendedLeg(trials: Seq[Double]): Boolean =
+      trials.forall(_ >= 0) && trials.min >= 0.3 && trials.max > 2.0 * trials.min
+
     final case class QRes(name: String, min: Double, trials: Seq[Double],
-        loadBefore: Double, loadAfter: Double) {
-      def contended: Boolean =
-        min >= 0.3 && trials.forall(_ >= 0) && trials.max > 2.0 * min
+        loads: Seq[Double], retried: Boolean, contended: Boolean)
+
+    def bestOf3(once: () => Boolean): Seq[Double] = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val ok = once()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // a failure in any trial must stay visible as -1, never as a fast min
+      if (ok) dt else -1.0
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -59,21 +67,31 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        val ok = once()
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -1.0
-      }
       once() // warm: codegen + ICU init + parquet footers
       val la0 = loadavg()
       // best-of-3: the shared box's load waves last tens of seconds, long
       // enough to contaminate BOTH runs of a best-of-2 (observed: q26
       // 4.2 s quiet, 19.9 s with a wave across both timed runs)
-      val trials = Seq(timed(), timed(), timed())
+      val leg1 = bestOf3(() => once())
       val la1 = loadavg()
-      // a failure in any trial must stay visible as -1, never as a fast min
-      QRes(name, if (trials.exists(_ < 0)) -1.0 else trials.min, trials, la0, la1)
+      // quiet-window retry (round-4 verdict item 7): a leg that flags
+      // itself contended gets ONE more best-of-3 — load waves last tens of
+      // seconds, so the retry usually lands quiet. The headline min spans
+      // both legs; `contended` survives only if BOTH legs were contaminated
+      // (twice-flagged), and both legs' walls stay in the artifact
+      val (trials, loads, retried) =
+        if (!contendedLeg(leg1)) (leg1, Seq(la0, la1), false)
+        else {
+          val la2 = loadavg()
+          val leg2 = bestOf3(() => once())
+          val la3 = loadavg()
+          (leg1 ++ leg2, Seq(la0, la1, la2, la3), true)
+        }
+      val contended =
+        if (retried) contendedLeg(trials.take(3)) && contendedLeg(trials.drop(3))
+        else contendedLeg(trials)
+      QRes(name, if (trials.exists(_ < 0)) -1.0 else trials.min, trials,
+        loads, retried, contended)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // on comma-decimal locales would corrupt the JSON artifact
@@ -85,9 +103,11 @@ object Bench {
       "\"" + r.name + "\":" + r.trials.map(fmt).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val loadJson = results.map(r =>
-      "\"" + r.name + "\":[" + fmt(r.loadBefore) + "," + fmt(r.loadAfter) + "]")
+      "\"" + r.name + "\":" + r.loads.map(fmt).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val contendedJson = results.filter(_.contended).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
+    val retriedJson = results.filter(_.retried).map("\"" + _.name + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_.min).filter(_ >= 0).sum
 
@@ -99,16 +119,34 @@ object Bench {
     val crawlHosts = sys.env.getOrElse("SPARK_GRAFT_CRAWL_HOSTS", "5000").toInt
     BenchCrawl.pipelineThroughput(spark, crawlN / 4, crawlHosts) // warm
     val crawlLa0 = loadavg()
-    val crawlTrials = (1 to 3).map(_ =>
+    val leg1 = (1 to 3).map(_ =>
       BenchCrawl.pipelineThroughput(spark, crawlN, crawlHosts))
     val crawlLa1 = loadavg()
+    def legContended(l: Seq[(Long, Long, Double)]): Boolean =
+      l.map(_._3).max > 2.0 * l.map(_._3).min
+    // quiet-window retry, same policy as the per-query legs: the round's
+    // HEADLINE number must not be a contended one when one more best-of-3
+    // can land quiet (BENCH_r04's crawl leg was flagged; the quiet re-run
+    // was 2x faster). Both legs' walls stay in the artifact
+    val (crawlTrials, crawlLoads, crawlRetried) =
+      if (!legContended(leg1)) (leg1, Seq(crawlLa0, crawlLa1), false)
+      else {
+        val la2 = loadavg()
+        val leg2 = (1 to 3).map(_ =>
+          BenchCrawl.pipelineThroughput(spark, crawlN, crawlHosts))
+        val la3 = loadavg()
+        (leg1 ++ leg2, Seq(crawlLa0, crawlLa1, la2, la3), true)
+      }
     val (nFrontier, fresh, crawlWall) = crawlTrials.minBy(_._3) // load only inflates
     val crawlUps = (nFrontier + fresh) / crawlWall
     val crawlWalls = crawlTrials.map(t => fmt(t._3)).mkString("[", ",", "]")
-    val crawlContended = crawlTrials.map(_._3).max > 2.0 * crawlWall
+    val crawlContended =
+      if (crawlRetried) legContended(crawlTrials.take(3)) &&
+        legContended(crawlTrials.drop(3))
+      else legContended(crawlTrials)
 
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_urls_per_sec":$crawlUps,"crawl_n_urls":$crawlN,"crawl_wall_sec":$crawlWall,"trials":$trialsJson,"loadavg":$loadJson,"contended":$contendedJson,"crawl_walls":$crawlWalls,"crawl_loadavg":[${fmt(crawlLa0)},${fmt(crawlLa1)}],"crawl_contended":$crawlContended}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_urls_per_sec":$crawlUps,"crawl_n_urls":$crawlN,"crawl_wall_sec":$crawlWall,"trials":$trialsJson,"loadavg":$loadJson,"contended":$contendedJson,"retried":$retriedJson,"crawl_walls":$crawlWalls,"crawl_loadavg":[${crawlLoads.map(fmt).mkString(",")}],"crawl_contended":$crawlContended,"crawl_retried":$crawlRetried}""")
     spark.stop()
   }
 }
