@@ -353,6 +353,25 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
 
   def pathExists(p: String): Boolean = fc.util.exists(new HPath(p))
 
+  /** Total bytes of regular files under `p` (recursive) — fold-cost
+    * accounting for the compaction counters (ops visibility: the CLI A/B
+    * that justifies a fold cadence reads these out of the manifest).
+    */
+  def pathBytes(p: String): Long = {
+    val hp = new HPath(p)
+    if (!fc.util.exists(hp)) 0L
+    else {
+      def walk(d: HPath): Long =
+        fc.util.listStatus(d).map { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith(".")) 0L
+          else st.getLen
+        }.sum
+      walk(hp)
+    }
+  }
+
   def deletePath(p: String): Unit = {
     val hp = new HPath(p)
     if (fc.util.exists(hp)) { fc.delete(hp, true); () }

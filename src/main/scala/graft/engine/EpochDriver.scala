@@ -295,6 +295,12 @@ final class EpochDriver(
     }
     val cut = Sched.budgetCut(epochBudgetMs, floorMs)
     val robotsMeta = Map("robots_floor_ms" -> floorMs)
+    // cumulative fold-cost accounting (bytes written by major base rewrites
+    // and by minor delta resolves): pure ops visibility — the evidence that
+    // minor folds let the major cadence stretch is these two counters'
+    // RATIO in a CLI A/B, read straight out of the final manifest
+    val foldBytesMeta = m.counters.view.filterKeys(k =>
+      k == "fold_base_bytes" || k == "fold_delta_bytes").toMap
 
     // epoch-scale caches + the Bloom broadcast, released in the finally
     // block so a failed commit (retried by the caller) cannot leak them
@@ -566,6 +572,10 @@ final class EpochDriver(
         // in-between epoch a head-sized scheduler read
         val foldDir = store.stagingDir("frontier_base")
         folded.write.mode("overwrite").partitionBy("state").parquet(foldDir)
+        // bytes this major fold REWROTE (measured before terminals rename
+        // out: the write cost was paid for them too)
+        val foldBaseBytes = m.counters.getOrElse("fold_base_bytes", 0L) +
+          store.pathBytes(foldDir)
         // ---- archive-by-rename: fetched/failed are ABSORBING (a URL enters
         // the frontier exactly once — candidates are anti-joined against
         // seen — and only pending rows are ever scheduled), so the fold's
@@ -625,6 +635,7 @@ final class EpochDriver(
           replacePaths = Map("frontier_base" -> Seq(foldDir)),
           append = appendTables - "seen_bloom",
           counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
+            foldBytesMeta + ("fold_base_bytes" -> foldBaseBytes) ++
             (if (headEmpty) Map.empty[String, Long]
              else Map("head_epoch" -> epoch, "head_k" -> headK,
                "head_cut" -> cut)),
@@ -685,7 +696,7 @@ final class EpochDriver(
             append = if (emptyDelta) appendTables
               else appendTables + ("frontier_delta" -> deltaDf),
             counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
-              headMeta + ("delta_rows" -> deltaRowsBound),
+              foldBytesMeta ++ headMeta + ("delta_rows" -> deltaRowsBound),
             appendPaths = Map("fetch_result" -> Seq(fetchDir)))
         } else {
           // ---- MINOR fold: resolve the delta LOG into one run (latest row
@@ -704,6 +715,8 @@ final class EpochDriver(
             .repartition(math.max(1L, math.min(deltaRowsBound / 1000000L + 1,
               spark.sparkContext.defaultParallelism.toLong)).toInt)
             .write.mode("overwrite").parquet(runDir)
+          val foldDeltaBytes = m.counters.getOrElse("fold_delta_bytes", 0L) +
+            store.pathBytes(runDir)
           // Head refresh: head' = top-K' per host of pending(head ∪ delta),
           // K' = hk − (epoch − he)·cut (the budget not yet consumable since
           // the head was built). Exactness: the head at `he` contained the
@@ -744,6 +757,7 @@ final class EpochDriver(
             replacePaths = Map("frontier_delta" -> Seq(runDir)),
             append = appendTables,
             counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
+              foldBytesMeta + ("fold_delta_bytes" -> foldDeltaBytes) ++
               (headRefresh match {
                 case Some((_, k)) if !headEmpty =>
                   Map("head_epoch" -> epoch, "head_k" -> k, "head_cut" -> cut)
