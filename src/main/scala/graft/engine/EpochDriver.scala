@@ -488,7 +488,7 @@ final class EpochDriver(
       // is re-derived per epoch from the cumulative doc count (B is a pure
       // cost knob, never a recall knob — NearDupSpec), so signatures are
       // geometry-free and a growing corpus widens its own banding.
-      val ndState: Option[(DataFrame, Option[DataFrame], Long, Long)] =
+      val ndState: Option[(DataFrame, Option[String], Long, Long)] =
         if (!nearDupDocs || nFetched == 0) None
         else {
           val batchDocs = okDocs
@@ -498,8 +498,8 @@ final class EpochDriver(
                 collect_list(struct(col("span.offset"), col("span.text"))),
                 x => x.getField("text") =!= "")),
               x => x.getField("text")), " ").as("text"))
-          // cached: the pairs probe, the pair count and the commit write
-          // all consume the batch signatures
+          // cached: the pairs probe and the commit write both consume the
+          // batch signatures
           val simNew = graft.operators.NearDup.simhash(batchDocs,
             graft.operators.NearDup.XxHashBits,
             graft.operators.NearDup.xxTokenHash).cache()
@@ -515,8 +515,15 @@ final class EpochDriver(
             case None => graft.operators.NearDup.pairsFromSimhash(
               simNew, blocks, graft.operators.NearDup.XxHashBits)
           }).withColumn("epoch", lit(epoch))
-          val nPairs = pairsDf.count()
-          Some((simNew, if (nPairs > 0) Some(pairsDf) else None,
+          // write-once, count from the written footers (the fetch_result
+          // pattern): the banded probe is the epoch's second-most-expensive
+          // plan, and a separate count() action would execute it twice. A
+          // crash re-runs the deterministic probe into the same dir
+          val pairsDir = store.stagingDir("neardup_pairs")
+          pairsDf.write.mode("overwrite").parquet(pairsDir)
+          val nPairs = spark.read.parquet(pairsDir).count()
+          if (nPairs == 0) store.deletePath(pairsDir) // row-less dir hazard
+          Some((simNew, if (nPairs > 0) Some(pairsDir) else None,
             simDocs, nPairs))
         }
       // sim_docs carries forward across empty/disabled epochs like
@@ -544,8 +551,9 @@ final class EpochDriver(
       val appendTables = Map(
         "seen_bloom" -> bloomNew,
         "metrics" -> metricsDf) ++
-        ndState.map { case (simNew, _, _, _) => "corpus_sim" -> simNew } ++
-        ndState.flatMap(_._2).map("neardup_pairs" -> _)
+        ndState.map { case (simNew, _, _, _) => "corpus_sim" -> simNew }
+      val ndAppendPaths: Map[String, Seq[String]] =
+        ndState.flatMap(_._2).map(d => "neardup_pairs" -> Seq(d)).toMap
       // delta file sizing tracks the DELTA's row count (~1M rows/file,
       // capped at the session parallelism), so a small epoch writes one
       // file instead of one near-empty file per shuffle partition — the
@@ -640,6 +648,7 @@ final class EpochDriver(
              else Map("head_epoch" -> epoch, "head_k" -> headK,
                "head_cut" -> cut)),
           appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
+            ndAppendPaths ++
             (if (archDirs.nonEmpty) Map("frontier_archive" -> archDirs)
              else Map.empty),
           drop = if (headEmpty) Set("frontier_delta", "frontier_head")
@@ -697,7 +706,8 @@ final class EpochDriver(
               else appendTables + ("frontier_delta" -> deltaDf),
             counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
               foldBytesMeta ++ headMeta + ("delta_rows" -> deltaRowsBound),
-            appendPaths = Map("fetch_result" -> Seq(fetchDir)))
+            appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
+              ndAppendPaths)
         } else {
           // ---- MINOR fold: resolve the delta LOG into one run (latest row
           // per key — view-identical, the same resolution the major fold
@@ -765,7 +775,8 @@ final class EpochDriver(
                 case None => headMeta.toMap // no refresh: carry unchanged
               }) +
               ("delta_rows" -> deltaRowsBound),
-            appendPaths = Map("fetch_result" -> Seq(fetchDir)),
+            appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
+              ndAppendPaths,
             drop = if (headEmpty) Set("frontier_head") else Set.empty)
         }
       }
