@@ -98,6 +98,21 @@ final class EpochDriver(
     // by FrontierLogSpec), so not resume-guarded. Requires folds to
     // refresh the head; with compactFrontierEvery=0 it never activates
     scheduleFromHead: Boolean = true,
+    // cost guard on head BUILDS: materialize/refresh the head only when
+    // its size bound (nHosts × K — headSlice can never exceed it) is at
+    // most this fraction of the exactly-tracked pending set
+    // (`pending_rows`, see below). In the degenerate geometry
+    // hosts·K ≳ pending the head saves nothing per epoch while every fold
+    // re-sorts and re-writes ~the whole frontier to (re)build it — the
+    // regime where head scheduling measured 40% SLOWER end-to-end. The
+    // guard makes the engine detect that geometry itself instead of
+    // relying on an operator turning the head off by hand; the north-rule
+    // geometry (hosts·K orders of magnitude below pending) always
+    // engages. Skipping a build leaves the exact full-view path (or a
+    // still-valid older head), so this is a pure execution strategy —
+    // not resume-guarded. Tests that pin head mechanics in deliberately
+    // tiny geometries disable the guard with PositiveInfinity
+    headMaxPendingFraction: Double = 0.5,
     // K1/K2 external sink (file-backed stand-in for the reference's Kafka
     // REST bridge): per-epoch fresh records batch-emitted from the
     // executors, plus one job-control completion message per epoch.
@@ -139,6 +154,19 @@ final class EpochDriver(
     * (`head_cut`) and is invalidated when the cut changes.
     */
   private val cutRows: Long = Sched.budgetCut(epochBudgetMs, minDelayFloorMs)
+
+  /** Head-build cost guard: is a head of up to `kPerHost` rows/host worth
+    * materializing against a pending set of `pendingRows`? nHosts·K is an
+    * upper bound on the slice (headSlice keeps at most K rows per host and
+    * only hosts with pending rows contribute), so over-estimating skips
+    * conservatively — exactly the degenerate-geometry direction. An
+    * UNKNOWN pending count (legacy store resumed mid-crawl, before a major
+    * fold re-seeds the counter) engages the head as before the guard
+    * existed.
+    */
+  private def headWorthwhile(kPerHost: Long, pendingRows: Option[Long]): Boolean =
+    pendingRows.forall(p =>
+      nHosts.toDouble * kPerHost <= p.toDouble * headMaxPendingFraction)
 
   /** Queue a robots refresh (new (host, crawl_delay_ms, disallow) rows —
     * the reference re-fetches robots.txt mid-crawl; the engine analog is a
@@ -219,12 +247,16 @@ final class EpochDriver(
     // all-or-nothing resume semantics: an uncommitted epoch partition is
     // both invisible to readers (epoch gate) and overwritten on re-run
     store.appendSeen(seen, 0L)
+    // every seed row starts pending: the exact pending_rows baseline the
+    // per-epoch arithmetic and the head cost guard build on
+    val nSeeds = frontier.count()
     // the head exists from epoch 0 (same slice a fold would build): the
     // first fold-cadence window of epochs schedules from O(hosts·K) rows
     // too, instead of scanning the full seed frontier until the first fold
     val headK = (compactFrontierEvery.toLong + 1L) * cutRows
     val headDf =
-      if (scheduleFromHead && compactFrontierEvery > 0 && headK > 0)
+      if (scheduleFromHead && compactFrontierEvery > 0 && headK > 0 &&
+          headWorthwhile(headK, Some(nSeeds)))
         Some(Sched.headSlice(frontier, headK).cache())
       else None
     val headCommit = headDf.filter(h => !h.isEmpty)
@@ -235,7 +267,8 @@ final class EpochDriver(
         append = Map(
           "seen_bloom" -> Bloom.buildSegments(seen, "canon_url", bloomSegments, bloomBitsPerSegment)),
         counters = cfg +
-          ("seeds" -> frontier.count()) +
+          ("seeds" -> nSeeds) +
+          ("pending_rows" -> nSeeds) +
           ("robots_floor_ms" -> minDelayFloorMs) ++
           (if (headCommit.isDefined)
             Map("head_epoch" -> 0L, "head_k" -> headK, "head_cut" -> cutRows)
@@ -439,10 +472,16 @@ final class EpochDriver(
           when(col("_status") === "error", col("retry_count") + 1)
             .otherwise(col("retry_count")))
         .drop("_status")
-      val statusCounts = fetched.groupBy("status").count()
+      // one batch-sized pass over the post-transition states yields the
+      // fetch outcome tallies AND the terminal-failure count the
+      // pending_rows arithmetic needs (ok → fetched; error → failed at
+      // maxRetries, else still pending with retry_count bumped — errors
+      // are exactly failed + still-pending)
+      val stateCounts = transitions.groupBy("state").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val nFetched = statusCounts.getOrElse("ok", 0L)
-      val nErrors = statusCounts.getOrElse("error", 0L)
+      val nFetched = stateCounts.getOrElse("fetched", 0L)
+      val nFailed = stateCounts.getOrElse("failed", 0L)
+      val nErrors = nFailed + stateCounts.getOrElse("pending", 0L)
       val nEmitted = fresh.count()
       val counters = Map(
         "epoch" -> epoch,
@@ -451,6 +490,17 @@ final class EpochDriver(
         "discovered" -> nDiscovered,
         "deduped" -> (nDiscovered - nEmitted),
         "emitted" -> nEmitted)
+
+      // pending_rows: exact by the state machine — rows enter pending only
+      // as seeds (init) or fresh emissions, and leave only by
+      // transitioning to fetched/failed (retries stay pending). Carried
+      // through every commit so the head cost guard always has the current
+      // value; absent on a legacy store until the next major fold re-seeds
+      // it from the folded base's footers
+      val pendingNow: Option[Long] = m.counters.get("pending_rows")
+        .map(p => p + nEmitted - nFetched - nFailed)
+      val pendingMeta: Map[String, Long] =
+        pendingNow.map("pending_rows" -> _).toMap
 
       val metricsDf = Seq((epoch, nFetched, nErrors, nDiscovered,
         nDiscovered - nEmitted, nEmitted))
@@ -613,19 +663,31 @@ final class EpochDriver(
             if (moved.isEmpty) Seq.empty else Seq(arch)
           }
         val headK = (compactFrontierEvery.toLong + 1L) * cut
+        // the fold just materialized the exact pending set — count it from
+        // the written footers (count(*) over parquet is metadata-only, no
+        // data pages) to re-seed pending_rows and drive the head guard
+        val foldedPending =
+          spark.read.parquet(foldDir).filter(col("state") === "pending")
+        val pendingCount = if (hasPending) foldedPending.count() else 0L
         // cached: the emptiness probe below and the committed write both
         // consume the head — uncached, the per-host window over the fold's
-        // full pending slice would execute twice per fold epoch
-        val head = Sched.headSlice(
-          spark.read.parquet(foldDir).filter(col("state") === "pending"),
-          headK).cache()
-        headC = Some(head)
+        // full pending slice would execute twice per fold epoch. The cost
+        // guard skips the build entirely when hosts·K ≳ pending: the extra
+        // window sort + head write would cost ~another fold for a head
+        // that saves ~nothing per epoch
+        val headOpt =
+          if (scheduleFromHead && headWorthwhile(headK, Some(pendingCount)))
+            Some(Sched.headSlice(foldedPending, headK).cache())
+          else None
+        headC = headOpt
         // a frontier-draining fold produces an EMPTY head; committing it
         // would leave a row-less parquet dir the next epoch cannot
         // schema-infer (the delta append guards the identical hazard) —
         // commit no head instead and drop any stale one, so the next
-        // epoch takes the full-view path and terminates normally
-        val headEmpty = head.isEmpty
+        // epoch takes the full-view path and terminates normally. A
+        // guard-skipped build takes the same path: the base rewrite +
+        // dropped delta log invalidate any older head regardless
+        val headEmpty = headOpt.forall(_.isEmpty)
         // the Bloom blob log folds here too: OR-merge every appended
         // (epoch, segment) row plus this epoch's into one row per segment,
         // so the per-epoch filter read merges O(segments + R) blobs, not
@@ -637,13 +699,16 @@ final class EpochDriver(
             case None => bloomNew
           })
         val mFold = store.commit(epoch,
-          replace = (if (headEmpty) Map.empty[String, DataFrame]
-            else Map("frontier_head" -> head)) +
+          replace = (headOpt match {
+            case Some(h) if !headEmpty => Map("frontier_head" -> h)
+            case _ => Map.empty[String, DataFrame]
+          }) +
             ("seen_bloom" -> bloomFolded) ++ robotsReplace,
           replacePaths = Map("frontier_base" -> Seq(foldDir)),
           append = appendTables - "seen_bloom",
           counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
-            foldBytesMeta + ("fold_base_bytes" -> foldBaseBytes) ++
+            foldBytesMeta + ("fold_base_bytes" -> foldBaseBytes) +
+            ("pending_rows" -> pendingCount) ++
             (if (headEmpty) Map.empty[String, Long]
              else Map("head_epoch" -> epoch, "head_k" -> headK,
                "head_cut" -> cut)),
@@ -705,7 +770,8 @@ final class EpochDriver(
             append = if (emptyDelta) appendTables
               else appendTables + ("frontier_delta" -> deltaDf),
             counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
-              foldBytesMeta ++ headMeta + ("delta_rows" -> deltaRowsBound),
+              foldBytesMeta ++ pendingMeta ++ headMeta +
+              ("delta_rows" -> deltaRowsBound),
             appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
               ndAppendPaths)
         } else {
@@ -743,12 +809,17 @@ final class EpochDriver(
           // the refresh arithmetic is exact only under an unchanged cut
           // (same reasoning as the scheduling validity check above): a cut
           // change leaves the head un-refreshed and the check drops it
+          // the cost guard applies to refreshes exactly as to builds:
+          // skipping leaves the old head meta carried unchanged — the head
+          // simply goes stale by the validity arithmetic and later epochs
+          // take the exact full-view path
           val headRefresh: Option[(DataFrame, Long)] = for {
             he <- m.counters.get("head_epoch")
             hk <- m.counters.get("head_k")
             if m.counters.getOrElse("head_cut", cutRows) == cut
             kRem = hk - (epoch - he) * cut
             if kRem >= cut
+            if headWorthwhile(kRem, pendingNow)
             h <- store.readTable(m, "frontier_head")
           } yield (Sched.headSlice(
             FrontierLog.pendingResolved(h,
@@ -767,7 +838,8 @@ final class EpochDriver(
             replacePaths = Map("frontier_delta" -> Seq(runDir)),
             append = appendTables,
             counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
-              foldBytesMeta + ("fold_delta_bytes" -> foldDeltaBytes) ++
+              foldBytesMeta ++ pendingMeta +
+              ("fold_delta_bytes" -> foldDeltaBytes) ++
               (headRefresh match {
                 case Some((_, k)) if !headEmpty =>
                   Map("head_epoch" -> epoch, "head_k" -> k, "head_cut" -> cut)

@@ -351,9 +351,12 @@ class EngineSpec extends SparkSpecBase {
     // budget/delay — a visible scheduling change
     val updated = Sched.robotsFor((0 until nHosts).map(SimWeb.hostName), seed)
       .map { case (h, _, dis) => (h, 4000L, dis) }
+    // guard disabled: this test pins head-rebuild mechanics in a
+    // deliberately tiny geometry the cost guard would (correctly) skip
     def driver(dir: String) = new EpochDriver(spark,
       new SnapshotStore(dir, spark), seed, nHosts,
-      epochBudgetMs = budget, compactFrontierEvery = 2)
+      epochBudgetMs = budget, compactFrontierEvery = 2,
+      headMaxPendingFraction = Double.PositiveInfinity)
     // A: update staged, then KILLED and resumed by a fresh driver (whose
     // constructor generator still carries the ORIGINAL robots)
     val dirA = tmpDir(); val a1 = driver(dirA)
@@ -392,10 +395,13 @@ class EngineSpec extends SparkSpecBase {
     // budget cut GROWS (8000/100 = 80 rows/host); the old head (sized
     // under the old cut) can no longer bound per-host consumption
     val updated = orig.updated(0, (orig.head._1, 100L, orig.head._3))
+    // guard disabled: head-drop mechanics need the head actually in use
+    // in this deliberately tiny geometry
     def driver(dir: String, head: Boolean) = new EpochDriver(spark,
       new SnapshotStore(dir, spark), seed, nHosts,
       epochBudgetMs = budget, compactFrontierEvery = 2,
-      scheduleFromHead = head)
+      scheduleFromHead = head,
+      headMaxPendingFraction = Double.PositiveInfinity)
     val dirA = tmpDir(); val a = driver(dirA, head = true)
     a.init(seeds); a.runEpoch(); a.runEpoch()
     assert(a.lastSchedSource == "head", "test premise: head in use pre-update")

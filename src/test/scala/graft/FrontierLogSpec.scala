@@ -398,6 +398,52 @@ class FrontierLogSpec extends SparkSpecBase {
     assert(b2.runEpoch() == a7, "resume across a minor fold diverged")
   }
 
+  test("head cost guard: degenerate geometry never builds a head, exact vs a head-off twin, pending_rows exact") {
+    // hosts*K far above the pending set (the EngineSpec-scale toy shape):
+    // a head would cost a frontier-sized sort + write per fold and save
+    // nothing per epoch. The guard must detect this from pending_rows and
+    // skip every build — init, major folds, minor folds — while staying
+    // batch-exact against a head-disabled twin. 10 hosts, cut = 8000/floor
+    // >= 2 rows/host, K = 3*cut: hosts*K >= 60 vs ~40 pending
+    val nHosts = 10
+    val seeds = SimWeb.seedUrls(40, nHosts, seed)
+    val gDir = tmpDir()
+    val gStore = new SnapshotStore(gDir, spark)
+    // cadences chosen so four epochs hit all three commit paths with the
+    // counter carried through each: plain (1, 3), minor fold (2), major
+    // fold (4, footer-derived re-seed)
+    val g = new EpochDriver(spark, gStore, seed, nHosts,
+      epochBudgetMs = 8000L, compactFrontierEvery = 4, compactDeltaEvery = 2)
+    val f = new EpochDriver(spark, new SnapshotStore(tmpDir(), spark), seed,
+      nHosts, epochBudgetMs = 8000L, compactFrontierEvery = 4,
+      compactDeltaEvery = 2, scheduleFromHead = false)
+    g.init(seeds); f.init(seeds)
+    assert(gStore.latest().get.tables.get("frontier_head").isEmpty,
+      "guard did not skip the init head in the degenerate geometry")
+    (1 to 4).foreach { _ =>
+      val mg = g.runEpoch(); val mf = f.runEpoch()
+      assert(mg == mf, "guard-skipped head changed epoch counters")
+      assert(g.lastSchedSource == "full",
+        "no head was built, so scheduling must take the full-view path")
+      val man = gStore.latest().get
+      assert(man.tables.get("frontier_head").isEmpty &&
+        !man.counters.contains("head_epoch"),
+        "degenerate geometry committed a head anyway")
+      // pending_rows is EXACT by the state machine — against the actual
+      // merge-on-read view every epoch (covers fetched, failed at
+      // maxRetries, retries staying pending, and fresh emissions)
+      val actual = g.frontier().filter(col("state") === "pending").count()
+      assert(man.counters("pending_rows") == actual,
+        s"pending_rows=${man.counters("pending_rows")} but view has $actual")
+    }
+    assert(g.frontier().collect().map(_.toSeq).toSet ==
+      f.frontier().collect().map(_.toSeq).toSet,
+      "guard-skipped head changed the frontier view")
+    // the engaged side of the guard is pinned by the head tests above:
+    // their 4000-seed geometries run with the same default fraction and
+    // assert lastSchedSource == "head" throughout
+  }
+
   test("an empty-head fold commits no row-less head table; next epoch survives on the full path") {
     // budget below every crawl delay ⇒ cut = 0 ⇒ headSlice is empty even
     // with a non-empty pending set — the same shape as a frontier-draining
