@@ -444,6 +444,44 @@ class FrontierLogSpec extends SparkSpecBase {
     // assert lastSchedSource == "head" throughout
   }
 
+  test("legacy store without pending_rows: head engages as before, the next major fold re-seeds the counter") {
+    // a pre-counter store (round-4 layout) carries no pending_rows: the
+    // guard must treat UNKNOWN as engage (the behavior every existing
+    // store was built under), and the next major fold re-seeds the counter
+    // from the folded base's footers so the guard turns exact from there
+    val nHosts = 20
+    val seeds = SimWeb.seedUrls(4000, nHosts, seed)
+    val dir = tmpDir()
+    val store = new SnapshotStore(dir, spark)
+    val d = new EpochDriver(spark, store, seed, nHosts,
+      epochBudgetMs = 2000L, compactFrontierEvery = 2)
+    d.init(seeds); d.runEpoch(); d.runEpoch()
+    // simulate the legacy manifest: strip pending_rows in place
+    val v = store.latestVersion().get
+    val mf = java.nio.file.Paths.get(dir, "manifest", s"v$v.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(mf))
+    node.get("counters")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove("pending_rows")
+    java.nio.file.Files.write(mf, mapper.writeValueAsBytes(node))
+    val d2 = new EpochDriver(spark, new SnapshotStore(dir, spark), seed,
+      nHosts, epochBudgetMs = 2000L, compactFrontierEvery = 2)
+    d2.runEpoch() // epoch 3, plain commit: no counter to carry, head in use
+    assert(d2.lastSchedSource == "head",
+      "legacy store (no pending_rows) must keep the head engaged")
+    val m3 = new SnapshotStore(dir, spark).latest().get
+    assert(!m3.counters.contains("pending_rows"),
+      "a plain commit cannot invent the counter it never had")
+    d2.runEpoch() // epoch 4, major fold: footer-derived re-seed
+    val m4 = new SnapshotStore(dir, spark).latest().get
+    val actual = d2.frontier().filter(col("state") === "pending").count()
+    assert(m4.counters.get("pending_rows").contains(actual),
+      s"major fold did not re-seed pending_rows (=${m4.counters.get("pending_rows")}, view $actual)")
+    assert(m4.tables.contains("frontier_head"),
+      "worthwhile geometry must still rebuild the head at the fold")
+  }
+
   test("an empty-head fold commits no row-less head table; next epoch survives on the full path") {
     // budget below every crawl delay ⇒ cut = 0 ⇒ headSlice is empty even
     // with a non-empty pending set — the same shape as a frontier-draining
