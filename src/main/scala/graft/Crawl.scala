@@ -79,14 +79,16 @@ object Crawl {
       // the knob exists for A/B measurement and for geometries where
       // hosts*K exceeds the pending set (head pays without saving)
       scheduleFromHead = !sys.env.get("SPARK_GRAFT_SCHED_HEAD").contains("0"),
-      // SPARK_GRAFT_HEAD_FRACTION: head cost-guard threshold (default 0.5;
-      // "inf" disables the guard — the pre-guard behavior, for A/B runs).
-      // The guard itself detects the hosts*K >= pending geometry from the
-      // exactly-tracked pending_rows counter, so SCHED_HEAD=0 is no longer
-      // needed there — it remains as the hard off switch
+      // SPARK_GRAFT_HEAD_FRACTION: head cost-guard threshold over the
+      // exactly-tracked pending_rows counter (skip builds/refreshes when
+      // nHosts*K > fraction * pending). Default "inf" = head always
+      // engaged: the interleaved A/B at hosts*K ~50x pending still
+      // measured head-ON faster (BASELINE.md round 5). The knob exists
+      // for geometries an operator measures otherwise; SCHED_HEAD=0
+      // remains the hard off switch
       headMaxPendingFraction = sys.env.get("SPARK_GRAFT_HEAD_FRACTION")
         .map(s => if (s == "inf") Double.PositiveInfinity else s.toDouble)
-        .getOrElse(0.5),
+        .getOrElse(Double.PositiveInfinity),
       // SPARK_GRAFT_NEARDUP=1: near-dup each epoch's fetched docs against
       // the persisted corpus signatures (corpus_sim) and append the batch's
       // signatures — the steady-state training-data ingest shape. Resume-

@@ -101,18 +101,21 @@ final class EpochDriver(
     // cost guard on head BUILDS: materialize/refresh the head only when
     // its size bound (nHosts × K — headSlice can never exceed it) is at
     // most this fraction of the exactly-tracked pending set
-    // (`pending_rows`, see below). In the degenerate geometry
-    // hosts·K ≳ pending the head saves nothing per epoch while every fold
-    // re-sorts and re-writes ~the whole frontier to (re)build it — the
-    // regime where head scheduling measured 40% SLOWER end-to-end. The
-    // guard makes the engine detect that geometry itself instead of
-    // relying on an operator turning the head off by hand; the north-rule
-    // geometry (hosts·K orders of magnitude below pending) always
-    // engages. Skipping a build leaves the exact full-view path (or a
-    // still-valid older head), so this is a pure execution strategy —
-    // not resume-guarded. Tests that pin head mechanics in deliberately
-    // tiny geometries disable the guard with PositiveInfinity
-    headMaxPendingFraction: Double = 0.5,
+    // (`pending_rows`, see below). Default ENGAGED everywhere
+    // (PositiveInfinity): an interleaved best-of-3 CLI A/B at the most
+    // head-hostile geometry available (hosts·K ~50× pending — 400k seeds,
+    // 5000 hosts, 60 s budget, minors every 4) measured the head-ON legs
+    // 4-9% FASTER than head-off on every trial (BASELINE.md round 5,
+    // correcting round 4's wave-contaminated 40%-slower note): a minor
+    // fold's refresh is one O(pending ∪ Δ) pass per `compactDeltaEvery`
+    // epochs, while the full path re-resolves O(pending + Δ log) EVERY
+    // epoch — the head never loses asymptotically, only shifts where the
+    // pass runs. The threshold remains for operators whose measured
+    // geometry says otherwise (CLI SPARK_GRAFT_HEAD_FRACTION); skipping a
+    // build leaves the exact full-view path (or a still-valid older
+    // head), so any setting is pure execution strategy — not
+    // resume-guarded
+    headMaxPendingFraction: Double = Double.PositiveInfinity,
     // K1/K2 external sink (file-backed stand-in for the reference's Kafka
     // REST bridge): per-epoch fresh records batch-emitted from the
     // executors, plus one job-control completion message per epoch.

@@ -351,8 +351,8 @@ class EngineSpec extends SparkSpecBase {
     // budget/delay — a visible scheduling change
     val updated = Sched.robotsFor((0 until nHosts).map(SimWeb.hostName), seed)
       .map { case (h, _, dis) => (h, 4000L, dis) }
-    // guard disabled: this test pins head-rebuild mechanics in a
-    // deliberately tiny geometry the cost guard would (correctly) skip
+    // threshold pinned off: this test pins head-rebuild mechanics and
+    // must stay immune to any future cost-guard default
     def driver(dir: String) = new EpochDriver(spark,
       new SnapshotStore(dir, spark), seed, nHosts,
       epochBudgetMs = budget, compactFrontierEvery = 2,
@@ -395,8 +395,8 @@ class EngineSpec extends SparkSpecBase {
     // budget cut GROWS (8000/100 = 80 rows/host); the old head (sized
     // under the old cut) can no longer bound per-host consumption
     val updated = orig.updated(0, (orig.head._1, 100L, orig.head._3))
-    // guard disabled: head-drop mechanics need the head actually in use
-    // in this deliberately tiny geometry
+    // threshold pinned off: head-drop mechanics need the head actually
+    // in use regardless of any future cost-guard default
     def driver(dir: String, head: Boolean) = new EpochDriver(spark,
       new SnapshotStore(dir, spark), seed, nHosts,
       epochBudgetMs = budget, compactFrontierEvery = 2,

@@ -398,13 +398,14 @@ class FrontierLogSpec extends SparkSpecBase {
     assert(b2.runEpoch() == a7, "resume across a minor fold diverged")
   }
 
-  test("head cost guard: degenerate geometry never builds a head, exact vs a head-off twin, pending_rows exact") {
-    // hosts*K far above the pending set (the EngineSpec-scale toy shape):
-    // a head would cost a frontier-sized sort + write per fold and save
-    // nothing per epoch. The guard must detect this from pending_rows and
-    // skip every build — init, major folds, minor folds — while staying
-    // batch-exact against a head-disabled twin. 10 hosts, cut = 8000/floor
-    // >= 2 rows/host, K = 3*cut: hosts*K >= 60 vs ~40 pending
+  test("head cost guard: an engaged threshold never builds a head, exact vs a head-off twin, pending_rows exact") {
+    // guard MECHANICS pin (the default is engage-always — BASELINE.md
+    // round 5 measured head-ON faster even at hosts*K ~50x pending, so
+    // the threshold is an operator knob, set explicitly here): hosts*K
+    // far above the pending set, fraction 0.5 ⇒ every build — init,
+    // major folds, minor folds — must be skipped while staying
+    // batch-exact against a head-disabled twin. 10 hosts, cut =
+    // 8000/floor >= 2 rows/host, K = 3*cut: hosts*K >= 60 vs ~40 pending
     val nHosts = 10
     val seeds = SimWeb.seedUrls(40, nHosts, seed)
     val gDir = tmpDir()
@@ -413,7 +414,8 @@ class FrontierLogSpec extends SparkSpecBase {
     // counter carried through each: plain (1, 3), minor fold (2), major
     // fold (4, footer-derived re-seed)
     val g = new EpochDriver(spark, gStore, seed, nHosts,
-      epochBudgetMs = 8000L, compactFrontierEvery = 4, compactDeltaEvery = 2)
+      epochBudgetMs = 8000L, compactFrontierEvery = 4, compactDeltaEvery = 2,
+      headMaxPendingFraction = 0.5)
     val f = new EpochDriver(spark, new SnapshotStore(tmpDir(), spark), seed,
       nHosts, epochBudgetMs = 8000L, compactFrontierEvery = 4,
       compactDeltaEvery = 2, scheduleFromHead = false)
@@ -439,14 +441,15 @@ class FrontierLogSpec extends SparkSpecBase {
     assert(g.frontier().collect().map(_.toSeq).toSet ==
       f.frontier().collect().map(_.toSeq).toSet,
       "guard-skipped head changed the frontier view")
-    // the engaged side of the guard is pinned by the head tests above:
-    // their 4000-seed geometries run with the same default fraction and
-    // assert lastSchedSource == "head" throughout
+    // the engaged side is pinned by the head tests above: their 4000-seed
+    // geometries run under the engage-always default and assert
+    // lastSchedSource == "head" throughout
   }
 
   test("legacy store without pending_rows: head engages as before, the next major fold re-seeds the counter") {
-    // a pre-counter store (round-4 layout) carries no pending_rows: the
-    // guard must treat UNKNOWN as engage (the behavior every existing
+    // a pre-counter store (round-4 layout) carries no pending_rows: plain
+    // commits must neither require nor invent it, an UNKNOWN count must
+    // engage the head (guard forall-on-None — the behavior every existing
     // store was built under), and the next major fold re-seeds the counter
     // from the folded base's footers so the guard turns exact from there
     val nHosts = 20
