@@ -145,8 +145,75 @@ object Bench {
         legContended(crawlTrials.drop(3))
       else legContended(crawlTrials)
 
+    // N-vs-4N scaling evidence IN the artifact (north rule: >=0.8 throughput
+    // scaling efficiency between two cluster sizes). Each leg is a fresh
+    // local[cores] session (shuffle partitions scaled with cores, all other
+    // config identical) running the identical BenchCrawl job on the same
+    // input; efficiency = wall_N / (4 * wall_4N), 1.0 = perfect linear.
+    // Defaults — cores 4 vs 16 on the headline 8M-URL/5k-host frontier —
+    // keep both legs on spare cores (a 32-core leg additionally measures
+    // the single-socket DRAM ceiling, documented across rounds 1-4, i.e.
+    // the box, not the engine) and keep the N leg's trials under a minute
+    // so the whole section stays a bounded fraction of the bench run; the
+    // larger 16M pair lives in BASELINE.md's ladder table. Per-leg min of
+    // >=3 trials with quiet-window retry, so a load wave on either leg
+    // inflates neither min.
+    val scalingJson: String =
+      if (sys.env.get("SPARK_GRAFT_SCALING").contains("0")) "null"
+      else try {
+        val cN = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "4").toInt
+        val c4n = cN * 4
+        val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALING_NURLS", "8000000").toLong
+        val scaleHosts = sys.env.getOrElse("SPARK_GRAFT_SCALING_HOSTS", "5000").toInt
+        spark.stop()
+
+        def leg(cores: Int): (Seq[(Long, Long, Double)], Seq[Double], Boolean) = {
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          val s = SparkSession.builder()
+            .master(s"local[$cores]")
+            .config("spark.sql.shuffle.partitions", cores)
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+          s.sparkContext.setLogLevel("WARN")
+          SparkEntry.configure(s)
+          BenchCrawl.pipelineThroughput(s, scaleN / 4, scaleHosts) // warm
+          val la0 = loadavg()
+          val l1 = (1 to 3).map(_ =>
+            BenchCrawl.pipelineThroughput(s, scaleN, scaleHosts))
+          val la1 = loadavg()
+          val out =
+            if (!legContended(l1)) (l1, Seq(la0, la1), false)
+            else {
+              val la2 = loadavg()
+              val l2 = (1 to 3).map(_ =>
+                BenchCrawl.pipelineThroughput(s, scaleN, scaleHosts))
+              val la3 = loadavg()
+              (l1 ++ l2, Seq(la0, la1, la2, la3), true)
+            }
+          s.stop()
+          out
+        }
+        val (t4n, loads4n, retried4n) = leg(c4n)
+        val (tN, loadsN, retriedN) = leg(cN)
+        val (nf4, fr4, wall4n) = t4n.minBy(_._3)
+        val (nfN, frN, wallN) = tN.minBy(_._3)
+        val eff = wallN / (4.0 * wall4n)
+        def contOf(t: Seq[(Long, Long, Double)], retried: Boolean): Boolean =
+          if (retried) legContended(t.take(3)) && legContended(t.drop(3))
+          else legContended(t)
+        def wallsOf(t: Seq[(Long, Long, Double)]): String =
+          t.map(x => fmt(x._3)).mkString("[", ",", "]")
+        s"""{"n_urls":$scaleN,"cores_n":$cN,"cores_4n":$c4n,"wall_n":${fmt(wallN)},"wall_4n":${fmt(wall4n)},"urls_per_sec_n":${fmt((nfN + frN) / wallN)},"urls_per_sec_4n":${fmt((nf4 + fr4) / wall4n)},"efficiency_n_to_4n":${fmt(eff)},"walls_n":${wallsOf(tN)},"walls_4n":${wallsOf(t4n)},"loadavg_n":[${loadsN.map(fmt).mkString(",")}],"loadavg_4n":[${loads4n.map(fmt).mkString(",")}],"contended_n":${contOf(tN, retriedN)},"contended_4n":${contOf(t4n, retried4n)},"retried_n":$retriedN,"retried_4n":$retried4n}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaling leg FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        "null"
+      }
+
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_urls_per_sec":$crawlUps,"crawl_n_urls":$crawlN,"crawl_wall_sec":$crawlWall,"trials":$trialsJson,"loadavg":$loadJson,"contended":$contendedJson,"retried":$retriedJson,"crawl_walls":$crawlWalls,"crawl_loadavg":[${crawlLoads.map(fmt).mkString(",")}],"crawl_contended":$crawlContended,"crawl_retried":$crawlRetried}""")
-    spark.stop()
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_urls_per_sec":$crawlUps,"crawl_n_urls":$crawlN,"crawl_wall_sec":$crawlWall,"trials":$trialsJson,"loadavg":$loadJson,"contended":$contendedJson,"retried":$retriedJson,"crawl_walls":$crawlWalls,"crawl_loadavg":[${crawlLoads.map(fmt).mkString(",")}],"crawl_contended":$crawlContended,"crawl_retried":$crawlRetried,"scaling":$scalingJson}""")
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }
