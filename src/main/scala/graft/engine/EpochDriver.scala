@@ -331,6 +331,16 @@ final class EpochDriver(
     }
     val cut = Sched.budgetCut(epochBudgetMs, floorMs)
     val robotsMeta = Map("robots_floor_ms" -> floorMs)
+    // a cut change PERMANENTLY invalidates any standing head, so the first
+    // epoch that runs under the new cut drops head + meta in its commit.
+    // Merely failing the head_cut check is not enough: epochs that run
+    // under a different cut consume up to THAT cut per host, so if the
+    // floor later reverted, the hk >= elapsed*cut validity arithmetic
+    // would under-count the mismatched epochs' consumption and re-validate
+    // an over-consumed head (hosts whose head rows are all terminal would
+    // silently schedule nothing until the next major fold)
+    val headCutStale = m.counters.contains("head_epoch") &&
+      m.counters.getOrElse("head_cut", cutRows) != cut
     // cumulative fold-cost accounting (bytes written by major base rewrites
     // and by minor delta resolves): pure ops visibility — the evidence that
     // minor folds let the major cadence stretch is these two counters'
@@ -544,16 +554,25 @@ final class EpochDriver(
       val ndState: Option[(DataFrame, Option[String], Long, Long)] =
         if (!nearDupDocs || nFetched == 0) None
         else {
-          val batchDocs = okDocs
+          val batchText = okDocs
             .select(col("doc_id"), explode(col("spans")).as("span"))
             .groupBy("doc_id")
             .agg(array_join(transform(array_sort(filter(
                 collect_list(struct(col("span.offset"), col("span.text"))),
                 x => x.getField("text") =!= "")),
               x => x.getField("text")), " ").as("text"))
+          // TOTAL over the batch: explode drops a doc whose spans array is
+          // empty, so the reassembly alone would skip it — re-anchor on the
+          // fetched set and coalesce to "" so every fetched doc reaches the
+          // signature step (simhashTotal then assigns the empty-token
+          // signature 0L); the sim_docs counter and the corpus_sim row
+          // count stay equal BY CONSTRUCTION, not by corpus luck
+          val batchDocs = okDocs.select("doc_id")
+            .join(batchText, Seq("doc_id"), "left")
+            .na.fill("", Seq("text"))
           // cached: the pairs probe and the commit write both consume the
           // batch signatures
-          val simNew = graft.operators.NearDup.simhash(batchDocs,
+          val simNew = graft.operators.NearDup.simhashTotal(batchDocs,
             graft.operators.NearDup.XxHashBits,
             graft.operators.NearDup.xxTokenHash).cache()
           simNewC = Some(simNew)
@@ -748,10 +767,17 @@ final class EpochDriver(
         // an all-empty epoch appends no delta: an empty parquet dir at the
         // head of the delta list would break schema inference on read.
         // head_epoch/head_k ride every manifest so the validity check
-        // above survives commits that don't touch the head
-        val headMeta = m.counters.view
-          .filterKeys(k => k == "head_epoch" || k == "head_k" ||
-            k == "head_cut").toMap
+        // above survives commits that don't touch the head — EXCEPT when
+        // this epoch's cut diverged from the head's (headCutStale): then
+        // head + meta leave the store now, before a floor revert could
+        // ever re-validate the over-consumed head
+        val headMeta: Map[String, Long] =
+          if (headCutStale) Map.empty
+          else m.counters.view
+            .filterKeys(k => k == "head_epoch" || k == "head_k" ||
+              k == "head_cut").toMap
+        val headDrop: Set[String] =
+          if (headCutStale) Set("frontier_head") else Set.empty
         // delta_rows: upper bound on the delta table's rows, carried for
         // minor-fold file sizing only (a fold's repartition must track the
         // run's magnitude, not a file-count constant). Major folds drop the
@@ -776,7 +802,8 @@ final class EpochDriver(
               foldBytesMeta ++ pendingMeta ++ headMeta +
               ("delta_rows" -> deltaRowsBound),
             appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
-              ndAppendPaths)
+              ndAppendPaths,
+            drop = headDrop)
         } else {
           // ---- MINOR fold: resolve the delta LOG into one run (latest row
           // per key — view-identical, the same resolution the major fold
@@ -819,6 +846,12 @@ final class EpochDriver(
           val headRefresh: Option[(DataFrame, Long)] = for {
             he <- m.counters.get("head_epoch")
             hk <- m.counters.get("head_k")
+            // the hard off switch skips refreshes too: a store resumed
+            // with the head path disabled must not keep paying the
+            // per-host window sort for a head no scheduler reads (meta is
+            // carried unchanged, so a later head-on resume re-validates
+            // against the true elapsed-epoch consumption)
+            if scheduleFromHead
             if m.counters.getOrElse("head_cut", cutRows) == cut
             kRem = hk - (epoch - he) * cut
             if kRem >= cut
@@ -847,12 +880,14 @@ final class EpochDriver(
                 case Some((_, k)) if !headEmpty =>
                   Map("head_epoch" -> epoch, "head_k" -> k, "head_cut" -> cut)
                 case Some(_) => Map.empty[String, Long] // drained: meta dropped
-                case None => headMeta.toMap // no refresh: carry unchanged
+                // no refresh: carry unchanged — unless the cut diverged,
+                // which retires head + meta for good (headCutStale above)
+                case None => headMeta
               }) +
               ("delta_rows" -> deltaRowsBound),
             appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
               ndAppendPaths,
-            drop = if (headEmpty) Set("frontier_head") else Set.empty)
+            drop = if (headEmpty) Set("frontier_head") else headDrop)
         }
       }
       // seen compaction is GENERATIONAL (tier-1: fold only this cadence
@@ -869,8 +904,12 @@ final class EpochDriver(
         else store.compactSeen(epoch, epoch - compactSeenEvery)
       }
       // the staged robots rows are durable in this epoch's snapshot now; a
-      // failed commit leaves them staged so the retry still applies them
-      if (staged.isDefined) stagedRobots = None
+      // failed commit leaves them staged so the retry still applies them.
+      // Compare-and-clear: an update staged WHILE this epoch ran (the
+      // field is volatile precisely for cross-thread staging) must survive
+      // to the next epoch, not be wiped with the one just committed
+      if (staged.isDefined && (stagedRobots.asInstanceOf[AnyRef] eq
+          staged.asInstanceOf[AnyRef])) stagedRobots = None
       counters ++ ndCounters
     } finally {
       rankedC.foreach(_.unpersist())

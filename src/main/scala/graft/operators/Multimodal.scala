@@ -113,30 +113,52 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val emb = new Array[Float](EMB_DIMS)
+      // proportional cells; a cell never starts past the raster
+      // (gx*w/8 <= 7w/8 < w) and always covers >= 1 pixel row/col
+      val x0s = new Array[Int](EMB_GRID)
+      val x1s = new Array[Int](EMB_GRID)
+      var g = 0
+      while (g < EMB_GRID) {
+        x0s(g) = g * w / EMB_GRID
+        x1s(g) = math.min(w, math.max((g + 1) * w / EMB_GRID, x0s(g) + 1))
+        g += 1
+      }
+      // one bulk getRGB per scanline: the per-pixel overload pays a bounds
+      // check + ColorModel conversion PER CALL — an order of magnitude on
+      // the per-document hot path. Rows are fetched per cell-row span (not
+      // mapped 1:1 to grid rows) because cells can OVERLAP on sub-8px
+      // rasters; per-cell accumulation order stays (y asc, x asc), so the
+      // embedding is bit-identical to the per-pixel formulation
+      // (MultimodalSpec pins it against an independent per-pixel twin)
+      val rowBuf = new Array[Int](w)
       var gy = 0
       while (gy < EMB_GRID) {
-        // proportional cells; a cell never starts past the raster
-        // (gy*h/8 <= 7h/8 < h) and always covers >= 1 pixel row/col
         val y0 = gy * h / EMB_GRID
         val y1 = math.min(h, math.max((gy + 1) * h / EMB_GRID, y0 + 1))
-        var gx = 0
-        while (gx < EMB_GRID) {
-          val x0 = gx * w / EMB_GRID
-          val x1 = math.min(w, math.max((gx + 1) * w / EMB_GRID, x0 + 1))
-          var sum = 0.0
-          var y = y0
-          while (y < y1) {
-            var x = x0
+        val sums = new Array[Double](EMB_GRID)
+        var y = y0
+        while (y < y1) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var gx = 0
+          while (gx < EMB_GRID) {
+            var s = sums(gx)
+            var x = x0s(gx)
+            val x1 = x1s(gx)
             while (x < x1) {
-              val rgb = img.getRGB(x, y)
-              sum += 0.299 * ((rgb >> 16) & 0xff) +
+              val rgb = rowBuf(x)
+              s += 0.299 * ((rgb >> 16) & 0xff) +
                 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
               x += 1
             }
-            y += 1
+            sums(gx) = s
+            gx += 1
           }
-          emb(gy * EMB_GRID + gx) =
-            (sum / ((x1 - x0).toLong * (y1 - y0) * 255.0)).toFloat
+          y += 1
+        }
+        var gx = 0
+        while (gx < EMB_GRID) {
+          emb(gy * EMB_GRID + gx) = (sums(gx) /
+            ((x1s(gx) - x0s(gx)).toLong * (y1 - y0) * 255.0)).toFloat
           gx += 1
         }
         gy += 1

@@ -95,6 +95,21 @@ object NearDup {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** [[simhash]] made TOTAL over the input: a doc whose text yields zero
+    * tokens (empty / whitespace-only — explode emits no rows for it, so
+    * the groupBy never sees the doc) gets the empty-token-set signature 0L,
+    * which IS the majority vote over zero tokens (every bit count is 0,
+    * never a strict majority). One output row per input doc, always — the
+    * contract a persisted signature table needs (`corpus_sim` row count ==
+    * docs ingested), and degenerate empty duplicates still pair with each
+    * other at hd 0 instead of silently vanishing from the candidate space.
+    */
+  def simhashTotal(docs: DataFrame, hashBits: Int = XxHashBits,
+      tokenHash: Column => Column = xxTokenHash): DataFrame =
+    docs.select("doc_id")
+      .join(simhash(docs, hashBits, tokenHash), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("simhash"))
+
   /** All doc pairs within hamming distance ≤ [[Banding.HD]] over a corpus
     * of (doc_id, text) rows, blocked at the B that [[Banding.blocksFor]]
     * derives for `expectedDocs` — the one-call 100 TB entry point. Hashing

@@ -388,6 +388,43 @@ class EngineSpec extends SparkSpecBase {
     assert(a2d.lastSchedSource == "head", "post-update fold did not rebuild the head")
   }
 
+  test("a REVERTED robots floor cannot re-validate the stale head") {
+    import graft.operators.Sched
+    // floor change + revert between folds: the mismatched epoch consumed
+    // per host up to the LARGER cut, so the hk >= elapsed*cut arithmetic
+    // under-counts it once the cut reverts — the head must already be gone
+    // (dropped by the first epoch that ran under the changed cut), never
+    // merely skipped-and-carried for a revert to resurrect
+    val orig = Sched.robotsFor((0 until nHosts).map(SimWeb.hostName), seed)
+    val lowered = orig.updated(0, (orig.head._1, 100L, orig.head._3))
+    def driver(dir: String, head: Boolean) = new EpochDriver(spark,
+      new SnapshotStore(dir, spark), seed, nHosts,
+      epochBudgetMs = budget, compactFrontierEvery = 8,
+      scheduleFromHead = head,
+      headMaxPendingFraction = Double.PositiveInfinity)
+    val dirA = tmpDir(); val a = driver(dirA, head = true)
+    a.init(seeds); a.runEpoch()
+    assert(a.lastSchedSource == "head", "test premise: head in use")
+    a.stageRobotsUpdate(lowered) // cut grows: head invalid from epoch 2
+    a.runEpoch()
+    assert(a.lastSchedSource == "full")
+    val m2 = new SnapshotStore(dirA, spark).latest().get
+    assert(!m2.counters.contains("head_epoch") &&
+      !m2.tables.contains("frontier_head"),
+      "epoch under a changed cut must retire head + meta, not carry them")
+    a.stageRobotsUpdate(orig) // revert: cut equals the head's again
+    val a3 = a.runEpoch()
+    assert(a.lastSchedSource == "full",
+      "a reverted floor re-validated a retired head")
+    // exactness through the whole change/revert against a never-head twin
+    val dirB = tmpDir(); val b = driver(dirB, head = false)
+    b.init(seeds); b.runEpoch()
+    b.stageRobotsUpdate(lowered); b.runEpoch()
+    b.stageRobotsUpdate(orig)
+    assert(b.runEpoch() == a3, "change/revert diverged from the full path")
+    assert(b.runEpoch() == a.runEpoch())
+  }
+
   test("a robots delay-floor DECREASE drops the head and stays batch-exact") {
     import graft.operators.Sched
     val orig = Sched.robotsFor((0 until nHosts).map(SimWeb.hostName), seed)

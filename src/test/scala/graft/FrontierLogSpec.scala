@@ -398,6 +398,35 @@ class FrontierLogSpec extends SparkSpecBase {
     assert(b2.runEpoch() == a7, "resume across a minor fold diverged")
   }
 
+  test("resume with the head off: minor folds neither rewrite nor re-date the head") {
+    // SPARK_GRAFT_SCHED_HEAD=0 is the hard off switch AND the A/B
+    // measurement knob: a head-on store resumed head-off must not keep
+    // paying the per-host window sort at every minor fold for a head no
+    // scheduler reads — the head table and its meta stay frozen as the
+    // head-on run left them (a later head-on resume then re-validates
+    // against true elapsed consumption)
+    val nHosts = 20
+    val seeds = SimWeb.seedUrls(4000, nHosts, seed)
+    val dir = tmpDir()
+    def driver(head: Boolean) = new EpochDriver(spark,
+      new SnapshotStore(dir, spark), seed, nHosts, epochBudgetMs = 2000L,
+      compactFrontierEvery = 16, compactDeltaEvery = 2,
+      scheduleFromHead = head)
+    val on = driver(head = true)
+    on.init(seeds); on.runEpoch(); on.runEpoch() // epoch 2: minor fold refreshes
+    val m2 = new SnapshotStore(dir, spark).latest().get
+    assert(m2.counters("head_epoch") == 2L, "test premise: head refreshed at 2")
+    val off = driver(head = false)
+    off.runEpoch(); off.runEpoch() // epoch 4: minor fold, head OFF
+    assert(off.lastSchedSource == "full")
+    val m4 = new SnapshotStore(dir, spark).latest().get
+    assert(m4.tables("frontier_head") == m2.tables("frontier_head"),
+      "head-off minor fold rewrote the head table")
+    assert(m4.counters("head_epoch") == 2L &&
+      m4.counters("head_k") == m2.counters("head_k"),
+      "head-off minor fold re-dated the head meta")
+  }
+
   test("head cost guard: an engaged threshold never builds a head, exact vs a head-off twin, pending_rows exact") {
     // guard MECHANICS pin (the default is engage-always — BASELINE.md
     // round 5 measured head-ON faster even at hosts*K ~50x pending, so

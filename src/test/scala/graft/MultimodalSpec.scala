@@ -115,6 +115,41 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("bulk-row decode is bit-identical to an independent per-pixel twin") {
+    // decodeImage reads scanlines via bulk getRGB; this twin recomputes the
+    // 8x8 box-averaged luma with the naive per-pixel overload and the same
+    // cell bounds/accumulation order — any drift in the bulk rework (row
+    // offsets, overlapping sub-8px cells, sum order) fails exact equality
+    def twin(bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val G = Multimodal.EMB_GRID
+      Array.tabulate(Multimodal.EMB_DIMS) { i =>
+        val (gy, gx) = (i / G, i % G)
+        val y0 = gy * h / G
+        val y1 = math.min(h, math.max((gy + 1) * h / G, y0 + 1))
+        val x0 = gx * w / G
+        val x1 = math.min(w, math.max((gx + 1) * w / G, x0 + 1))
+        var sum = 0.0
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        }
+        (sum / ((x1 - x0).toLong * (y1 - y0) * 255.0)).toFloat
+      }
+    }
+    // spans the regimes: big cells, non-divisible dims, sub-8px rasters
+    // (overlapping cells), single pixel; jpg exercises a lossy decode too
+    for ((fmt, w, h) <- Seq(("png", 64, 64), ("png", 37, 11), ("png", 5, 3),
+        ("png", 1, 1), ("jpg", 40, 24))) {
+      val bytes = encodedImage(fmt, w, h, (x, y) => (x * 31 + y * 17) % 256)
+      val got = Multimodal.decodeImage(bytes).get._3
+      assert(got.toSeq == twin(bytes).toSeq, s"$fmt ${w}x$h diverged")
+    }
+  }
+
   test("luma embedding reflects actual pixel content (not a byte hash)") {
     val black = Multimodal.decodeImage(
       encodedImage("png", 64, 64, (_, _) => 0)).get._3

@@ -123,6 +123,41 @@ class NearDupSpec extends SparkSpecBase {
     assert(fullTouching.nonEmpty && incXx == fullTouching)
   }
 
+  test("simhashTotal: one row per doc, empty-token docs sign 0 and pair as exact dups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two empty-ish docs (no tokens after tokenization) + two real dups:
+    // plain simhash drops the token-less docs entirely — the engine's
+    // persisted signature table must not
+    val mixed = Seq(
+      (1L, "shared near dup text body one"),
+      (2L, "shared near dup text body one"),
+      (3L, ""),
+      (4L, "   ")).toDF("doc_id", "text")
+    // same production hashing on both sides (plain simhash DEFAULTS to the
+    // oracle-parity md5/60 geometry, simhashTotal to xxhash64/64)
+    val partial = NearDup.simhash(mixed, NearDup.XxHashBits,
+      NearDup.xxTokenHash)
+    assert(partial.count() == 2, "test premise: explode drops token-less docs")
+    val total = NearDup.simhashTotal(mixed).cache()
+    try {
+      assert(total.count() == 4, "simhashTotal must emit one row per doc")
+      val byId = total.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byId(3L) == 0L && byId(4L) == 0L,
+        "empty-token docs must carry the empty-set signature 0")
+      assert(byId(1L) == byId(2L) && byId(1L) != 0L)
+      // and the signatures flow through banding: both the real dups AND
+      // the degenerate empty pair surface at hd 0
+      val pairs = NearDup.pairsFromSimhash(total, 4, NearDup.XxHashBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs.contains((1L, 2L, 0)) && pairs.contains((3L, 4L, 0)),
+        s"expected both dup pairs at hd 0, got $pairs")
+      // non-empty rows are byte-identical to plain simhash
+      assert(partial.collect().map(_.toSeq).toSet ==
+        total.filter(col("doc_id") < 3).collect().map(_.toSeq).toSet)
+    } finally { total.unpersist(); () }
+  }
+
   test("operator simhash matches the q25 oracle-checked values") {
     // NearDup.simhash IS q25's projection (QueriesText delegates); pin the
     // linkage so a drift in either side breaks loudly
