@@ -9,18 +9,31 @@ import org.apache.spark.sql.functions._
   * of a Pandas-UDF-over-mapInPandas pipeline: partition-local model init,
   * row batches in, feature rows out).
   *
-  * The image path is REAL end-to-end: `parseImageHeader` reads width/height
-  * out of actual JPEG (SOF frame header) and PNG (IHDR chunk) container
-  * bytes with pure header arithmetic (the cheap metadata-only scan, oracle-
-  * checked by q27), and `decodeImage` decodes the full pixel raster with the
-  * JDK's own codecs (`javax.imageio`, headless — no external library) and
-  * embeds it as an 8×8 box-averaged luma thumbnail: EMB_DIMS=64 floats,
-  * deterministic in the pixel content, dimensioned to feed the ANN queries
-  * (q28/q30 run over 64-dim vectors). Only NON-image media (audio
-  * waveform / video frame decode — codecs the JDK does not ship) fall back
-  * to `decodeStub`'s deterministic synthetic features; the stub is loudly
+  * All three media kinds decode REAL bytes with zero external dependencies:
+  *
+  *  - images: `parseImageHeader` reads width/height out of actual JPEG (SOF
+  *    frame header) and PNG (IHDR chunk) container bytes with pure header
+  *    arithmetic (the cheap metadata-only scan, oracle-checked by q27), and
+  *    `decodeImage` decodes the full pixel raster with the JDK's own codecs
+  *    (`javax.imageio`, headless) and embeds it as an 8×8 box-averaged luma
+  *    thumbnail: EMB_DIMS=64 floats, deterministic in the pixel content,
+  *    dimensioned to feed the ANN queries (q28/q30 run over 64-dim vectors);
+  *  - audio: `decodeAudio` decodes WAV / AIFF / AU PCM with the JDK's own
+  *    `javax.sound.sampled` container readers plus a manual PCM frame parse
+  *    (8/16/24/32-bit, signed/unsigned, both endiannesses — so the embedding
+  *    is bit-identical across containers of the same samples) and embeds the
+  *    mono-mixed waveform as an EMB_DIMS-bin RMS loudness envelope;
+  *  - video: `decodeVideo` walks an AVI RIFF container (pure chunk
+  *    arithmetic, same style as the image header parse) and decodes
+  *    MJPEG frames with the image codec, deterministically sampling at most
+  *    VID_SAMPLE frames and averaging their luma-grid embeddings — the
+  *    frame-sample operation of the multimodal brief.
+  *
+  * Only payloads in codecs the JDK genuinely does not ship (MP3/AAC audio,
+  * H.264/VP9 video, …) — or bytes that fail to decode — fall back to
+  * `decodeStub`'s deterministic synthetic features; the stub is loudly
   * marked. Schema, batch shape, partition-local decoder lifecycle, and the
-  * typed output contract are identical across both paths (MultimodalSpec).
+  * typed output contract are identical across all paths (MultimodalSpec).
   */
 object Multimodal {
 
@@ -78,8 +91,19 @@ object Multimodal {
     } else None
   }
 
+  /** How many frames `decodeVideo` actually decodes: evenly-spaced sample
+    * indices over the chunk list, so per-row cost is bounded by the raster
+    * size regardless of clip length (n_frames still reports the true count).
+    */
+  val VID_SAMPLE = 8
+
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
+  /** One schema for every media kind. `width`/`height` carry the kind's
+    * primary dimensions: pixels for image/video, (sample_rate Hz, channels)
+    * for audio; `n_frames` is 1 for images, the PCM frame count for audio,
+    * and the container frame count for video.
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -167,10 +191,178 @@ object Multimodal {
     }
   }
 
-  /** STUB for NON-image media (audio waveform / video frame decode — codecs
-    * the JDK does not ship; image payloads take the REAL `decodeImage` path
-    * above). Deterministic in the payload bytes; replace with a real codec
-    * where the libraries exist. Marked intentionally — do not "fix".
+  /** REAL audio decode + embedding, no external dependency: the JDK ships
+    * WAV / AIFF / AU container readers (`javax.sound.sampled`). Returns
+    * (sample_rate, channels, n_frames, embedding), or None when the bytes
+    * are not a decodable audio file (→ caller falls back to the stub).
+    *
+    * PCM frames are parsed manually (8/16/24/32-bit, signed or unsigned,
+    * either endianness) rather than routed through the JDK's format
+    * converter, so the same samples yield a BIT-IDENTICAL embedding no
+    * matter which container carried them (WAV is little-endian, AIFF/AU
+    * big-endian — MultimodalSpec pins the equality). Non-PCM encodings the
+    * JDK can convert (µ-law/a-law) are first widened to 16-bit signed PCM.
+    *
+    * The embedding is an EMB_DIMS-bin RMS loudness envelope of the
+    * mono-mixed waveform (each bin the root-mean-square of its time slice,
+    * full-scale normalized to [0,1], same proportional-cell rule as the
+    * image grid) — the deterministic stand-in for a learned audio encoder,
+    * with the identical Spark-side contract.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) return None
+    val enc = in.getFormat.getEncoding
+    val pcm =
+      if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED) in
+      else {
+        // µ-law/a-law: let the JDK widen to PCM; anything it can't convert
+        // (or a genuinely unsupported codec) is a stub fallback, not an error
+        val f = in.getFormat
+        try AudioSystem.getAudioInputStream(
+          new AudioFormat(f.getSampleRate, 16, f.getChannels, true, false), in)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      }
+    val fmt = pcm.getFormat
+    val bits = fmt.getSampleSizeInBits
+    val ch = fmt.getChannels
+    if (bits % 8 != 0 || bits < 8 || bits > 32 || ch < 1) return None
+    val bps = bits / 8
+    val frameSize = bps * ch
+    val raw =
+      try pcm.readAllBytes()
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val n = raw.length / frameSize
+    if (n == 0) return None
+    val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+    val big = fmt.isBigEndian
+    val fullScale = (1L << (bits - 1)).toDouble
+    val bias = if (signed) 0L else 1L << (bits - 1)
+    // mono mix: mean across channels per frame, normalized to [-1, 1]
+    def sampleAt(off: Int): Long = {
+      // sign-extend from the top byte, accumulate the rest unsigned
+      var v: Long = if (big) raw(off).toLong else raw(off + bps - 1).toLong
+      var k = 1
+      while (k < bps) {
+        val b = if (big) raw(off + k) else raw(off + bps - 1 - k)
+        v = (v << 8) | (b & 0xffL)
+        k += 1
+      }
+      v
+    }
+    val mono = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var c = 0
+      while (c < ch) {
+        val v = sampleAt(i * frameSize + c * bps)
+        // unsigned PCM stores center at 2^(bits-1); drop the sign-extension
+        // the reader applied by masking back to the declared width first
+        val u = if (signed) v else (v & ((1L << bits) - 1)) - bias
+        s += u / fullScale
+        c += 1
+      }
+      mono(i) = s / ch
+      i += 1
+    }
+    // RMS envelope over proportional time bins (image-grid cell rule:
+    // a bin never starts past the waveform and always covers >= 1 frame)
+    val emb = new Array[Float](EMB_DIMS)
+    var g = 0
+    while (g < EMB_DIMS) {
+      val lo = g * n / EMB_DIMS
+      val hi = math.min(n, math.max((g + 1) * n / EMB_DIMS, lo + 1))
+      var sumSq = 0.0
+      var j = lo
+      while (j < hi) { sumSq += mono(j) * mono(j); j += 1 }
+      emb(g) = math.sqrt(sumSq / (hi - lo)).toFloat
+      g += 1
+    }
+    Some((fmt.getSampleRate.round, ch, n, emb))
+  }
+
+  /** Frame payloads of an AVI container's video stream: a pure RIFF chunk
+    * walk (fourcc + little-endian size + even padding), recursing into LIST
+    * chunks, collecting `##dc`/`##db` stream-data chunks that carry a JPEG
+    * SOI — the MJPEG layout. No codec involved; malformed sizes stop the
+    * walk at whatever parsed cleanly (same lenient posture as the JPEG
+    * marker scan above).
+    */
+  private[operators] def aviFrameChunks(p: Array[Byte]): Seq[Array[Byte]] = {
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(k => (p(i + k) & 0xff) == s.charAt(k))
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = u32le(i + 4)
+        val dataEnd = i + 8 + size
+        if (size < 0 || dataEnd > end) return // malformed: stop cleanly
+        if (tag(i, "LIST")) {
+          if (size >= 4) walk(i + 12, dataEnd.toInt) // skip the list type
+        } else if ((p(i + 2) & 0xff) == 'd'
+            && ((p(i + 3) & 0xff) == 'c' || (p(i + 3) & 0xff) == 'b')
+            && size >= 2 && (p(i + 8) & 0xff) == 0xff
+            && (p(i + 9) & 0xff) == 0xd8) {
+          out += java.util.Arrays.copyOfRange(p, i + 8, dataEnd.toInt)
+        }
+        i = (dataEnd + (size & 1L)).toInt // chunks pad to even offsets
+      }
+    }
+    walk(12, math.min(p.length.toLong, 8L + u32le(4)).toInt)
+    out.toSeq
+  }
+
+  /** REAL video decode + embedding for MJPEG-in-AVI payloads, no external
+    * dependency: the container is pure RIFF arithmetic (`aviFrameChunks`)
+    * and every frame is a JPEG the JDK codec already decodes. Returns
+    * (width, height, n_frames, embedding), or None when the bytes are not
+    * an AVI with at least one decodable frame (→ stub fallback).
+    *
+    * Frame-sample semantics (the brief's video operation): n_frames reports
+    * the TRUE container frame count, but at most VID_SAMPLE evenly-spaced
+    * frames are decoded (indices j·n/k, deterministic), and the embedding
+    * is the per-cell mean of their luma grids — per-row cost stays bounded
+    * by raster size × VID_SAMPLE regardless of clip length.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    val frames = aviFrameChunks(payload)
+    val n = frames.size
+    if (n == 0) return None
+    val k = math.min(VID_SAMPLE, n)
+    val decoded = (0 until k).iterator
+      .map(j => decodeImage(frames(j * n / k)))
+      .collect { case Some(d) => d }
+      .toSeq
+    if (decoded.isEmpty) None
+    else {
+      val (w, h, _) = decoded.head
+      val emb = new Array[Float](EMB_DIMS)
+      var d = 0
+      while (d < EMB_DIMS) {
+        var s = 0.0
+        decoded.foreach(f => s += f._3(d))
+        emb(d) = (s / decoded.size).toFloat
+        d += 1
+      }
+      Some((w, h, n, emb))
+    }
+  }
+
+  /** STUB for payloads in codecs the JDK genuinely does not ship (MP3/AAC
+    * audio, H.264/VP9 video, …) and for bytes that fail their kind's real
+    * decoder (`decodeImage` / `decodeAudio` / `decodeVideo` above).
+    * Deterministic in the payload bytes; replace with a real codec where
+    * the libraries exist. Marked intentionally — do not "fix".
     */
   def decodeStub(payload: Array[Byte], kind: String): (Int, Int, Int, Array[Float]) = {
     var h = 0xcafef00dL
@@ -206,14 +398,20 @@ object Multimodal {
       java.lang.System.setProperty("java.awt.headless", "true")
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        // real pixel decode for image rows (JDK codecs); audio/video — and
-        // image rows whose bytes don't decode — fall back to the stub.
-        // Kind gates the decode: an audio/video payload can legitimately
-        // START with JPEG/PNG magic (embedded cover art), and decoding
-        // that would silently assign the artwork's features to the track.
-        val decoded = if (r.kind == "image") decodeImage(r.payload) else None
+        // real decode per kind (all JDK-native: ImageIO rasters, sampled
+        // PCM audio, MJPEG-AVI frame sampling); rows whose bytes don't
+        // decode fall back to the stub. Kind gates the decode: an
+        // audio/video payload can legitimately START with JPEG/PNG magic
+        // (embedded cover art), and decoding that would silently assign
+        // the artwork's features to the track.
+        val decoded = r.kind match {
+          case "image" => decodeImage(r.payload).map { case (w, h, e) => (w, h, 1, e) }
+          case "audio" => decodeAudio(r.payload)
+          case "video" => decodeVideo(r.payload)
+          case _       => None
+        }
         val (w, h, f, emb) = decoded match {
-          case Some((pw, ph, pemb)) => (pw, ph, 1, pemb)
+          case Some((pw, ph, pf, pemb)) => (pw, ph, pf, pemb)
           case None =>
             val (sw, sh, sf, semb) = decodeStub(r.payload, r.kind)
             // undecodable image bytes may still carry a parseable container

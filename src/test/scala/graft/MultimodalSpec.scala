@@ -209,6 +209,201 @@ class MultimodalSpec extends SparkSpecBase {
       s"query $qid matched cross-cluster neighbor $nn") }
   }
 
+  /** Real encoded audio (JDK codec round-trip): raw PCM frames wrapped in a
+    * container by `javax.sound.sampled` itself — byte-for-byte what a codec
+    * would emit.
+    */
+  private def encodedAudio(fileType: javax.sound.sampled.AudioFileFormat.Type,
+      pcm: Array[Byte], rate: Int, bits: Int, channels: Int,
+      signed: Boolean, bigEndian: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate.toFloat, bits, channels, signed, bigEndian)
+    val frames = pcm.length / fmt.getFrameSize
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, fileType, out)
+    out.toByteArray
+  }
+
+  /** 16-bit little-endian PCM: loud full-scale-ish sine for the first half,
+    * digital silence for the second — the RMS envelope has checkable shape.
+    */
+  private def sinePcm16(n: Int, rate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 28000).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    pcm
+  }
+
+  test("real audio decode: WAV PCM metadata and RMS envelope from the JDK codec") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val (n, rate) = (6400, 8000) // n divisible by EMB_DIMS: clean bin halves
+    val wav = encodedAudio(Type.WAVE, sinePcm16(n, rate), rate, 16, 1,
+      signed = true, bigEndian = false)
+    val Some((gotRate, ch, frames, emb)) = Multimodal.decodeAudio(wav)
+    assert((gotRate, ch, frames) === ((rate, 1, n)))
+    assert(emb.length === Multimodal.EMB_DIMS)
+    assert(emb.forall(v => v >= 0f && v <= 1f))
+    // loud first half (sine RMS ≈ amplitude/√2 ≈ 0.6), silent second half
+    val half = Multimodal.EMB_DIMS / 2
+    assert(emb.take(half).forall(_ > 0.3f), "loud half too quiet")
+    assert(emb.drop(half).forall(_ < 0.01f), "silent half not silent")
+    // mono mix is the channel mean: L = -R cancels to digital silence
+    val l = sinePcm16(n, rate)
+    val stereo = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val s = ((l(2 * i) & 0xff) | (l(2 * i + 1) << 8)).toShort
+      val neg = (-s).toShort
+      stereo(4 * i) = (s & 0xff).toByte
+      stereo(4 * i + 1) = ((s >> 8) & 0xff).toByte
+      stereo(4 * i + 2) = (neg & 0xff).toByte
+      stereo(4 * i + 3) = ((neg >> 8) & 0xff).toByte
+    }
+    val wavSt = encodedAudio(Type.WAVE, stereo, rate, 16, 2,
+      signed = true, bigEndian = false)
+    val Some((_, ch2, frames2, emb2)) = Multimodal.decodeAudio(wavSt)
+    assert((ch2, frames2) === ((2, n)))
+    assert(emb2.forall(_ < 1e-6f), "opposite-phase stereo must mix to silence")
+    // non-audio bytes fall through to the stub path
+    assert(Multimodal.decodeAudio("just some text".getBytes) === None)
+    assert(Multimodal.decodeAudio(Array.empty[Byte]) === None)
+  }
+
+  test("audio embedding is container-independent: WAV == AIFF == AU on the same PCM") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val (n, rate) = (3001, 11025) // odd count: exercises uneven bins too
+    val pcmLe = sinePcm16(n, rate)
+    // AIFF/AU carry big-endian samples: same values, swapped bytes
+    val pcmBe = new Array[Byte](pcmLe.length)
+    for (i <- 0 until n) {
+      pcmBe(2 * i) = pcmLe(2 * i + 1)
+      pcmBe(2 * i + 1) = pcmLe(2 * i)
+    }
+    val wav = Multimodal.decodeAudio(encodedAudio(Type.WAVE, pcmLe, rate, 16, 1,
+      signed = true, bigEndian = false))
+    val aiff = Multimodal.decodeAudio(encodedAudio(Type.AIFF, pcmBe, rate, 16, 1,
+      signed = true, bigEndian = true))
+    val au = Multimodal.decodeAudio(encodedAudio(Type.AU, pcmBe, rate, 16, 1,
+      signed = true, bigEndian = true))
+    assert(wav.isDefined && aiff.isDefined && au.isDefined)
+    val Some((r1, c1, f1, e1)) = wav
+    assert((r1, c1, f1) === ((rate, 1, n)))
+    // bit-identical embeddings: the manual PCM parse normalizes away both
+    // endianness and container framing
+    assert(e1.toSeq == aiff.get._4.toSeq, "WAV vs AIFF drifted")
+    assert(e1.toSeq == au.get._4.toSeq, "WAV vs AU drifted")
+    assert(aiff.get._1 === rate && au.get._1 === rate)
+  }
+
+  test("8-bit unsigned PCM WAV decodes through the manual sample parser") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val n = 1280
+    // first half: full-swing alternating 0/255; second half: center (128),
+    // which IS digital silence in unsigned 8-bit
+    val pcm = Array.tabulate(n)(i =>
+      (if (i < n / 2) (if (i % 2 == 0) 0 else 255) else 128).toByte)
+    val wav = encodedAudio(Type.WAVE, pcm, 8000, 8, 1,
+      signed = false, bigEndian = false)
+    val Some((rate, ch, frames, emb)) = Multimodal.decodeAudio(wav)
+    assert((rate, ch, frames) === ((8000, 1, n)))
+    val half = Multimodal.EMB_DIMS / 2
+    assert(emb.take(half).forall(_ > 0.9f), "full-swing half should be ~1")
+    assert(emb.drop(half).forall(_ < 1e-6f), "center-value half is silence")
+  }
+
+  /** A real MJPEG-in-AVI container: RIFF('AVI '){ LIST(hdrl){avih}
+    * LIST(movi){ 00dc <jpeg> ... } } — the exact layout `aviFrameChunks`
+    * walks, with JDK-encoded JPEG frames.
+    */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def u32le(x: Int) = Array[Byte]((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ u32le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32le(body.length) ++ body
+  }
+
+  test("real video decode: MJPEG-in-AVI frames count, decode, and average") {
+    val frames = (0 until 6).map(j =>
+      encodedImage("jpg", 32, 24, (x, y) => (j * 40 + x + y) % 256))
+    val avi = aviBytes(frames)
+    val Some((w, h, n, emb)) = Multimodal.decodeVideo(avi)
+    assert((w, h, n) === ((32, 24, 6)))
+    // 6 ≤ VID_SAMPLE: every frame decodes; embedding is the exact per-cell
+    // mean of the single-frame luma grids (same double-sum order)
+    val twin = {
+      val embs = frames.map(f => Multimodal.decodeImage(f).get._3)
+      Array.tabulate(Multimodal.EMB_DIMS) { d =>
+        var s = 0.0
+        embs.foreach(e => s += e(d))
+        (s / embs.size).toFloat
+      }
+    }
+    assert(emb.toSeq == twin.toSeq)
+    // non-AVI bytes and frame-less containers fall through to the stub path
+    assert(Multimodal.decodeVideo("just some text".getBytes) === None)
+    assert(Multimodal.decodeVideo(aviBytes(Nil)) === None)
+    // a container whose frames aren't decodable JPEG is also a fallback
+    assert(Multimodal.decodeVideo(aviBytes(Seq(Array[Byte](0xff.toByte,
+      0xd8.toByte, 0x00, 0x00)))) === None)
+  }
+
+  test("long clips sample at most VID_SAMPLE evenly-spaced frames") {
+    val n = 20
+    val frames = (0 until n).map(j =>
+      encodedImage("jpg", 16, 16, (x, y) => (j * 12 + x * 3 + y) % 256))
+    val Some((_, _, gotN, emb)) = Multimodal.decodeVideo(aviBytes(frames))
+    assert(gotN === n, "n_frames reports the true container count")
+    val k = Multimodal.VID_SAMPLE
+    val sampled = (0 until k).map(j => frames(j * n / k))
+    val twin = {
+      val embs = sampled.map(f => Multimodal.decodeImage(f).get._3)
+      Array.tabulate(Multimodal.EMB_DIMS) { d =>
+        var s = 0.0
+        embs.foreach(e => s += e(d))
+        (s / embs.size).toFloat
+      }
+    }
+    assert(emb.toSeq == twin.toSeq,
+      "embedding must average exactly the deterministic sample indices")
+  }
+
+  test("extractFeatures routes real audio/video payloads to their decoders") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    import spark.implicits._
+    val wav = encodedAudio(Type.WAVE, sinePcm16(1600, 16000), 16000, 16, 1,
+      signed = true, bigEndian = false)
+    val avi = aviBytes((0 until 3).map(j =>
+      encodedImage("jpg", 20, 10, (x, y) => (j * 50 + x + y) % 256)))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav),
+      Multimodal.MediaRow(2L, "video", avi),
+      Multimodal.MediaRow(3L, "audio", "not audio".getBytes),
+      Multimodal.MediaRow(4L, "video", "not video".getBytes)).toDS()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // audio: (sample_rate, channels, pcm frames)
+    assert((got(1L).width, got(1L).height, got(1L).n_frames) ===
+      ((16000, 1, 1600)))
+    // video: (pixels, pixels, container frames)
+    assert((got(2L).width, got(2L).height, got(2L).n_frames) === ((20, 10, 3)))
+    // undecodable bytes keep the stub's synthetic ranges
+    for (id <- Seq(3L, 4L)) {
+      assert(got(id).width >= 64 && got(id).width < 1024)
+      assert(got(id).height >= 64 && got(id).height < 1024)
+    }
+  }
+
   test("video rows get multi-frame counts, images single") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
