@@ -254,32 +254,34 @@ object Multimodal {
       }
       v
     }
-    val mono = new Array[Double](n)
-    var i = 0
-    while (i < n) {
+    // mono mix: mean across channels per frame, normalized to [-1, 1]
+    def monoAt(frame: Int): Double = {
       var s = 0.0
       var c = 0
       while (c < ch) {
-        val v = sampleAt(i * frameSize + c * bps)
+        val v = sampleAt(frame * frameSize + c * bps)
         // unsigned PCM stores center at 2^(bits-1); drop the sign-extension
         // the reader applied by masking back to the declared width first
         val u = if (signed) v else (v & ((1L << bits) - 1)) - bias
         s += u / fullScale
         c += 1
       }
-      mono(i) = s / ch
-      i += 1
+      s / ch
     }
-    // RMS envelope over proportional time bins (image-grid cell rule:
-    // a bin never starts past the waveform and always covers >= 1 frame)
+    // RMS envelope over proportional time bins (image-grid cell rule: a bin
+    // never starts past the waveform and always covers >= 1 frame), each
+    // bin's frames parsed straight out of `raw` — no O(n) mono buffer on
+    // the per-row hot path. Bin indices in Long: g*n overflows Int past
+    // ~33.5M frames (a ~40-min 16 kHz WAV), which corrupted the tail bins
+    // and then threw AIOOBE out of the task instead of stub-falling-back.
     val emb = new Array[Float](EMB_DIMS)
     var g = 0
     while (g < EMB_DIMS) {
-      val lo = g * n / EMB_DIMS
-      val hi = math.min(n, math.max((g + 1) * n / EMB_DIMS, lo + 1))
+      val lo = (g.toLong * n / EMB_DIMS).toInt
+      val hi = math.min(n.toLong, math.max((g + 1).toLong * n / EMB_DIMS, lo + 1L)).toInt
       var sumSq = 0.0
       var j = lo
-      while (j < hi) { sumSq += mono(j) * mono(j); j += 1 }
+      while (j < hi) { val m = monoAt(j); sumSq += m * m; j += 1 }
       emb(g) = math.sqrt(sumSq / (hi - lo)).toFloat
       g += 1
     }
@@ -301,14 +303,19 @@ object Multimodal {
       s.indices.forall(k => (p(i + k) & 0xff) == s.charAt(k))
     if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
+    // depth-capped: real AVIs nest LIST 2-3 deep (hdrl/strl, movi/rec);
+    // crawled bytes are untrusted, and a crafted chain of nested LISTs
+    // (12 bytes per level) would otherwise recurse payload/12 frames deep —
+    // a StackOverflowError no NonFatal catch on the decode path survives
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var i = start
       while (i + 8 <= end) {
         val size = u32le(i + 4)
         val dataEnd = i + 8 + size
         if (size < 0 || dataEnd > end) return // malformed: stop cleanly
         if (tag(i, "LIST")) {
-          if (size >= 4) walk(i + 12, dataEnd.toInt) // skip the list type
+          if (size >= 4) walk(i + 12, dataEnd.toInt, depth + 1) // skip the list type
         } else if ((p(i + 2) & 0xff) == 'd'
             && ((p(i + 3) & 0xff) == 'c' || (p(i + 3) & 0xff) == 'b')
             && size >= 2 && (p(i + 8) & 0xff) == 0xff
@@ -318,7 +325,7 @@ object Multimodal {
         i = (dataEnd + (size & 1L)).toInt // chunks pad to even offsets
       }
     }
-    walk(12, math.min(p.length.toLong, 8L + u32le(4)).toInt)
+    walk(12, math.min(p.length.toLong, 8L + u32le(4)).toInt, 0)
     out.toSeq
   }
 

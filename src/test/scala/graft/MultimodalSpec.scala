@@ -315,6 +315,67 @@ class MultimodalSpec extends SparkSpecBase {
     assert(emb.drop(half).forall(_ < 1e-6f), "center-value half is silence")
   }
 
+  test("audio past 33.5M frames: bin arithmetic must not overflow Int") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    // 40M frames of 8-bit mono (~40 MB WAV): g*n exceeds Int.MaxValue from
+    // bin 54 up — unguarded Int arithmetic corrupts the tail bins and then
+    // throws AIOOBE out of the decode instead of computing the envelope
+    val n = 40_000_000
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n / 2) { pcm(i) = (if (i % 2 == 0) 0 else 255).toByte; i += 1 }
+    while (i < n) { pcm(i) = 128.toByte; i += 1 } // unsigned-8 silence
+    val wav = encodedAudio(Type.WAVE, pcm, 8000, 8, 1,
+      signed = false, bigEndian = false)
+    val Some((rate, ch, frames, emb)) = Multimodal.decodeAudio(wav)
+    assert((rate, ch, frames) === ((8000, 1, n)))
+    val half = Multimodal.EMB_DIMS / 2
+    assert(emb.take(half).forall(_ > 0.9f), "full-swing half should be ~1")
+    assert(emb.drop(half).forall(_ < 1e-6f),
+      "tail bins must cover the silent half exactly (overflow corrupts them)")
+  }
+
+  test("deeply nested LIST chains are depth-capped, not a stack overflow") {
+    // a crafted AVI of 100k self-consistent nested LISTs (12 bytes/level):
+    // crawled media bytes are untrusted, and an unbounded walk recurses
+    // once per level — StackOverflowError is not NonFatal and would kill
+    // the task instead of stub-falling-back
+    val levels = 100000
+    def sizeAt(k: Int) = 12 * k - 8 // innermost LIST size 4, +12 per level
+    val total = 12 + 8 + sizeAt(levels)
+    val p = new Array[Byte](total)
+    def put(off: Int, s: String): Unit =
+      s.indices.foreach(k => p(off + k) = s.charAt(k).toByte)
+    def putU32le(off: Int, x: Int): Unit = {
+      p(off) = (x & 0xff).toByte; p(off + 1) = ((x >> 8) & 0xff).toByte
+      p(off + 2) = ((x >> 16) & 0xff).toByte; p(off + 3) = ((x >> 24) & 0xff).toByte
+    }
+    put(0, "RIFF"); putU32le(4, 4 + 8 + sizeAt(levels)); put(8, "AVI ")
+    var off = 12
+    var k = levels
+    while (k >= 1) {
+      put(off, "LIST"); putU32le(off + 4, sizeAt(k)); put(off + 8, "movi")
+      off += 12; k -= 1
+    }
+    assert(Multimodal.decodeVideo(p) === None) // no frames, no crash
+    // the cap must not break REAL nesting: frames one LIST deeper than
+    // movi (the rec-grouped layout) still parse
+    val frame = encodedImage("jpg", 16, 12, (x, y) => (x * 5 + y) % 256)
+    def u32le(x: Int) = Array[Byte]((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ u32le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val rec = list("rec ", chunk("00dc", frame))
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", new Array[Byte](56))) ++ list("movi", rec)
+    val nested = "RIFF".getBytes("US-ASCII") ++ u32le(body.length) ++ body
+    val Some((w, h, nf, _)) = Multimodal.decodeVideo(nested)
+    assert((w, h, nf) === ((16, 12, 1)))
+  }
+
   /** A real MJPEG-in-AVI container: RIFF('AVI '){ LIST(hdrl){avih}
     * LIST(movi){ 00dc <jpeg> ... } } — the exact layout `aviFrameChunks`
     * walks, with JDK-encoded JPEG frames.
