@@ -94,7 +94,11 @@ object Crawl {
       // signatures — the steady-state training-data ingest shape. Resume-
       // guarded (cfg_neardup): a store carries the flag it was created with
       nearDupDocs = sys.env.get("SPARK_GRAFT_NEARDUP").contains("1"),
-      sinkDir = sys.env.get("SPARK_GRAFT_SINK_DIR"))
+      sinkDir = sys.env.get("SPARK_GRAFT_SINK_DIR"),
+      // SPARK_GRAFT_KAFKA_BRIDGE: Kafka REST bridge base URL — every sink
+      // batch body is also POSTed to <url>/topics/<topic> (the reference's
+      // transport, kafka_producer.py). Needs SPARK_GRAFT_SINK_DIR
+      sinkBridge = sys.env.get("SPARK_GRAFT_KAFKA_BRIDGE"))
     if (store.latest().isEmpty)
       driver.init(SimWeb.seedUrls(nSeeds, nHosts, seed))
 

@@ -122,7 +122,13 @@ final class EpochDriver(
     // Side-effecting and at-least-once across crash/retry (batch files are
     // idempotent per partition) — the exact-once state stays in the
     // snapshot store, exactly like the reference's DB-vs-Kafka split
-    sinkDir: Option[String] = None) {
+    sinkDir: Option[String] = None,
+    // Kafka REST bridge base URL (e.g. "http://host:8080"): when set, every
+    // emitted batch body is ALSO POSTed to <url>/topics/<topic> with the
+    // bridge content type — the reference's actual transport
+    // (kafka_producer.py:30-41), at-least-once via task retry. Requires
+    // sinkDir (the POST rides the sink's flush path)
+    sinkBridge: Option[String] = None) {
 
   import spark.implicits._
 
@@ -525,7 +531,7 @@ final class EpochDriver(
       sinkDir.foreach { d =>
         graft.sinks.RecordSink.emit(
           fresh.withColumn("epoch", lit(epoch)), "canon_url",
-          s"$d/frontier-records", tag = s"e$epoch")
+          s"$d/frontier-records", tag = s"e$epoch", bridgeUrl = sinkBridge)
         val completedAt = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
           .plusMinutes(epoch).atOffset(java.time.ZoneOffset.ofHours(9))
           .format(java.time.format.DateTimeFormatter.ofPattern(
@@ -538,7 +544,7 @@ final class EpochDriver(
           .toDF("job_id", "status", "step", "failure_reason",
             "expected_count", "completed_at")
         graft.sinks.RecordSink.emit(control, "job_id", s"$d/job-control",
-          tag = s"e$epoch")
+          tag = s"e$epoch", bridgeUrl = sinkBridge)
       }
 
       // ---- incremental near-dup over the epoch's fetched documents (the

@@ -365,6 +365,132 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (the brief's resize op, completing decode /
+    * feature-extract / resize / frame-sample): decode with the JDK codec,
+    * box-resample each RGB channel to (outW, outH) with the same
+    * proportional-cell rule as the embedding grid (cells never start past
+    * the raster and always cover ≥ 1 source pixel, so downscale averages
+    * and upscale degrades to nearest-neighbor duplication), and re-encode
+    * PNG — lossless and deterministic, so the same payload always yields
+    * byte-identical output (MultimodalSpec pins it). Returns None when the
+    * payload is not a decodable image (→ callers pass the row through
+    * unmodified, same posture as the decode fallbacks).
+    */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW >= 1 && outH >= 1, s"resize target must be >=1x1: ${outW}x$outH")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val x0s = new Array[Int](outW)
+      val x1s = new Array[Int](outW)
+      var g = 0
+      while (g < outW) {
+        // Long arithmetic: g*w overflows Int once outW*w passes 2^31 (a
+        // 50k-wide pano resized to 50k is already past it)
+        x0s(g) = (g.toLong * w / outW).toInt
+        x1s(g) = math.min(w.toLong,
+          math.max((g + 1).toLong * w / outW, x0s(g) + 1L)).toInt
+        g += 1
+      }
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rowBuf = new Array[Int](w)
+      val sumR = new Array[Long](outW)
+      val sumG = new Array[Long](outW)
+      val sumB = new Array[Long](outW)
+      var gy = 0
+      while (gy < outH) {
+        val y0 = (gy.toLong * h / outH).toInt
+        val y1 = math.min(h.toLong,
+          math.max((gy + 1).toLong * h / outH, y0 + 1L)).toInt
+        java.util.Arrays.fill(sumR, 0L)
+        java.util.Arrays.fill(sumG, 0L)
+        java.util.Arrays.fill(sumB, 0L)
+        var y = y0
+        while (y < y1) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var gx = 0
+          while (gx < outW) {
+            var x = x0s(gx)
+            val x1 = x1s(gx)
+            var r = 0L; var gr = 0L; var b = 0L
+            while (x < x1) {
+              val rgb = rowBuf(x)
+              r += (rgb >> 16) & 0xff; gr += (rgb >> 8) & 0xff; b += rgb & 0xff
+              x += 1
+            }
+            sumR(gx) += r; sumG(gx) += gr; sumB(gx) += b
+            gx += 1
+          }
+          y += 1
+        }
+        var gx = 0
+        while (gx < outW) {
+          val nPix = (x1s(gx) - x0s(gx)).toLong * (y1 - y0)
+          // round-half-up per channel: (2*sum + n) / (2*n)
+          val r = ((2 * sumR(gx) + nPix) / (2 * nPix)).toInt
+          val gg = ((2 * sumG(gx) + nPix) / (2 * nPix)).toInt
+          val b = ((2 * sumB(gx) + nPix) / (2 * nPix)).toInt
+          out.setRGB(gx, gy, (r << 16) | (gg << 8) | b)
+          gx += 1
+        }
+        gy += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(out, "png", buf)) None
+      else Some(buf.toByteArray)
+    }
+  }
+
+  /** Resized-media row: image rows that decoded carry the re-encoded PNG at
+    * (width, height) with resized=true; everything else (non-image kinds,
+    * undecodable bytes) passes through UNMODIFIED with resized=false and
+    * whatever real dimensions the header parse can still recover (-1 where
+    * it can't) — a resize stage must never drop or mangle rows it cannot
+    * serve, only mark them.
+    */
+  final case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_bytes: Int,
+      resized: Boolean,
+      payload: Array[Byte])
+
+  /** The distributed resize pipeline (same mapPartitions shape and
+    * partition-local codec init as extractFeatures; kind gates the decode
+    * for the same cover-art reason).
+    */
+  def resizeImages(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      java.lang.System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val resized =
+          if (r.kind == "image") resizeImage(r.payload, outW, outH) else None
+        resized match {
+          case Some(png) =>
+            ResizedMedia(r.media_id, r.kind, outW, outH, png.length,
+              resized = true, png)
+          case None =>
+            val (hw, hh) = (if (r.kind == "image") parseImageHeader(r.payload)
+              else None)
+              .map { case (_, pw, ph) => (pw, ph) }
+              .getOrElse((-1, -1))
+            ResizedMedia(r.media_id, r.kind, hw, hh, r.payload.length,
+              resized = false, r.payload)
+        }
+      }
+    }
+  }
+
   /** STUB for payloads in codecs the JDK genuinely does not ship (MP3/AAC
     * audio, H.264/VP9 video, …) and for bytes that fail their kind's real
     * decoder (`decodeImage` / `decodeAudio` / `decodeVideo` above).

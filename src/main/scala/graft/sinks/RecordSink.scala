@@ -52,9 +52,23 @@ object RecordSink {
     * emitting the same topic repeatedly (one call per epoch) pass a
     * distinct tag per call; a RETRY of the same (tag, partition)
     * overwriting itself is exactly the idempotence we want.
+    *
+    * `bridgeUrl`: the REAL Kafka REST transport. When set, every flushed
+    * batch body is ALSO POSTed to `<bridgeUrl>/topics/<topic dir name>`
+    * with the bridge content type (`application/vnd.kafka.json.v2+json`,
+    * kafka_producer.py:30-41), one partition-local JDK HttpClient per
+    * task, 5 s timeouts like the reference, and a non-2xx response raised
+    * as an error (`res.raise_for_status()`, kafka_producer.py:42) — so a
+    * failed POST fails the task and Spark's retry re-emits the batch:
+    * at-least-once over the wire, exactly the reference's semantics (its
+    * whole durability IS Kafka). The file write stays either way — it is
+    * the manifest-gated exactly-once record `readTopic` consumes, and the
+    * POSTed bytes are pinned byte-identical to the on-disk batch
+    * (KafkaBridgeSpec, against an in-JVM loopback bridge).
     */
   def emit(df: DataFrame, keyCol: String, topicDir: String,
-      tag: String = "0", batchSize: Int = 500): Unit = {
+      tag: String = "0", batchSize: Int = 500,
+      bridgeUrl: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -64,6 +78,7 @@ object RecordSink {
     // mapPartitions (not foreachPartition) so each task reports how many
     // batches it published — the driver then commits the manifest naming
     // exactly those files
+    val topicName = new HPath(topicDir).getName
     val counts = kv
       .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .mapPartitions { rows =>
@@ -73,6 +88,25 @@ object RecordSink {
         val dir = new HPath(topicDir)
         val fc = FileContext.getFileContext(dir.toUri, hadoopConf.value)
         fc.mkdir(dir, FsPermission.getDirDefault, true)
+        // the bridge "connection" is partition-local init (SURVEY R3), like
+        // the FileContext above: one client per task, reused for every batch
+        val post: Option[String => Unit] = bridgeUrl.map { base =>
+          val client = java.net.http.HttpClient.newBuilder()
+            .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+          val uri = java.net.URI.create(s"$base/topics/$topicName")
+          body => {
+            val req = java.net.http.HttpRequest.newBuilder(uri)
+              .timeout(java.time.Duration.ofSeconds(5))
+              .header("Content-Type", "application/vnd.kafka.json.v2+json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body, UTF_8))
+              .build()
+            val res = client.send(req,
+              java.net.http.HttpResponse.BodyHandlers.discarding())
+            if (res.statusCode() / 100 != 2)
+              throw new RuntimeException(
+                s"bridge POST failed: HTTP ${res.statusCode()} for $uri")
+          }
+        }
         var batchNo = 0
         val buf = new StringBuilder
         var inBuf = 0
@@ -87,6 +121,11 @@ object RecordSink {
           val out = fc.create(tmp, EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
           try out.write(body.getBytes(UTF_8)) finally out.close()
           fc.rename(tmp, target, Options.Rename.OVERWRITE)
+          // over the wire AFTER the durable rename: a POST failure fails
+          // the task and the retry re-publishes the same attempt-disjoint
+          // file and re-POSTs — at-least-once on the bridge, exactly-once
+          // in the manifest-gated file record
+          post.foreach(_(body))
           batchNo += 1; buf.clear(); inBuf = 0
         }
         rows.foreach { case (key0, value) =>

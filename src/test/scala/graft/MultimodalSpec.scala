@@ -473,4 +473,63 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.filter(_.kind != "video").forall(_.n_frames == 1))
     assert(feats.exists(f => f.kind == "video" && f.n_frames > 1))
   }
+
+  test("resize: output dims, PNG round-trip, exact box means, determinism") {
+    val src = encodedImage("png", 320, 200, (x, y) => (x * 7 + y * 13) % 256)
+    val Some(out) = Multimodal.resizeImage(src, 64, 40)
+    // the output is itself a decodable PNG at exactly the target dims
+    assert(Multimodal.parseImageHeader(out).map(_._1) === Some("png"))
+    val Some((w, h, _)) = Multimodal.decodeImage(out)
+    assert((w, h) === ((64, 40)))
+    // byte-identical across calls: PNG is lossless and the JDK encoder is
+    // deterministic, so resize output can live in a content-addressed store
+    assert(Multimodal.resizeImage(src, 64, 40).get.toSeq == out.toSeq)
+    // exact means: a 2x-duplicated raster box-averages back to its original
+    // pixels (every 2x2 cell is constant, so the average IS the pixel)
+    val small = encodedImage("png", 16, 16, (x, y) => (x * 31 + y * 17) % 256)
+    val doubled = encodedImage("png", 32, 32, (x, y) => ((x / 2) * 31 + (y / 2) * 17) % 256)
+    val Some(backBytes) = Multimodal.resizeImage(doubled, 16, 16)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(backBytes))
+    val orig = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((back.getRGB(x, y) & 0xffffff) === (orig.getRGB(x, y) & 0xffffff),
+        s"box mean at ($x,$y)")
+    // upscale degrades to nearest-neighbor duplication (cells cover >= 1 px)
+    val Some(upBytes) = Multimodal.resizeImage(small, 32, 32)
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(upBytes))
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert((up.getRGB(x, y) & 0xffffff) === (orig.getRGB(x / 2, y / 2) & 0xffffff),
+        s"upscale at ($x,$y)")
+    // undecodable bytes are a None, not an exception
+    assert(Multimodal.resizeImage("not an image".getBytes, 8, 8) === None)
+  }
+
+  test("resizeImages: image rows re-encode at target dims, others pass through untouched") {
+    import spark.implicits._
+    val jpeg = encodedImage("jpg", 100, 60, (x, y) => (x + y) % 256)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", jpeg),
+      Multimodal.MediaRow(2L, "image", "corrupt".getBytes),
+      // truncated container: undecodable but header-parseable — real dims
+      // must still surface on the passthrough row
+      Multimodal.MediaRow(3L, "image", jpegBytes(800, 600)),
+      // cover-art hazard: an image payload under a non-image kind must not
+      // be resized (same gate as extractFeatures)
+      Multimodal.MediaRow(4L, "audio", jpeg)).toDS()
+    val got = Multimodal.resizeImages(media, 16, 16).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got(1L).resized && (got(1L).width, got(1L).height) === ((16, 16)))
+    assert(Multimodal.decodeImage(got(1L).payload).map(d => (d._1, d._2)) ===
+      Some((16, 16)))
+    assert(got(1L).n_bytes === got(1L).payload.length)
+    for (id <- Seq(2L, 3L, 4L)) assert(!got(id).resized)
+    assert(got(2L).payload.toSeq == "corrupt".getBytes.toSeq)
+    assert((got(3L).width, got(3L).height) === ((800, 600)))
+    assert(got(4L).payload.toSeq == jpeg.toSeq)
+    assert((got(2L).width, got(2L).height) === ((-1, -1)))
+    // partitioning invariance, like extractFeatures
+    val again = Multimodal.resizeImages(media.repartition(3), 16, 16).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(again === got.view.mapValues(_.payload.toSeq).toMap)
+  }
 }
