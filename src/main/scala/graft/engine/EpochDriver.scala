@@ -73,13 +73,16 @@ final class EpochDriver(
     // Pure execution strategy (batches, counters, views byte-identical —
     // EngineSpec/FrontierLogSpec), so not resume-guarded
     compactDeltaEvery: Int = 0,
-    // cap on frontier_archive parquet roots: each fold-with-terminals
-    // appends one root, and an unbounded list grows the full-history view's
-    // union plan and every manifest linearly with crawl AGE. When a fold
-    // pushes the count past the cap, the older roots' files are MERGE-MOVED
-    // (file renames, zero rewrite) into the fold's fresh root and a second
-    // manifest swap retires them. Pure layout knob (view-identical,
-    // FrontierLogSpec), so not resume-guarded
+    // cap on APPEND-table parquet roots (frontier_archive, and with
+    // near-dup on: corpus_sim / neardup_pairs): each append commits one
+    // root, and an unbounded list grows the read plan and every manifest
+    // linearly with crawl AGE — corpus_sim is read ON THE EPOCH PATH (the
+    // banded probe), so its listing cost recurs every epoch. When a
+    // table's root count passes the cap, the older roots' files are
+    // MERGE-MOVED (file renames, zero rewrite — all three tables are
+    // immutable appends, nothing ever needs resolution) into the newest
+    // root and a second manifest swap retires them. Pure layout knob
+    // (view-identical, FrontierLogSpec/EngineSpec), so not resume-guarded
     archiveMaxRoots: Int = 8,
     // near-dup each epoch's fetched documents against the persisted corpus
     // signature table and append the batch's signatures — the steady-state
@@ -629,7 +632,13 @@ final class EpochDriver(
       val appendTables = Map(
         "seen_bloom" -> bloomNew,
         "metrics" -> metricsDf) ++
-        ndState.map { case (simNew, _, _, _) => "corpus_sim" -> simNew }
+        // signature file sizing tracks the BATCH's row count (the deltaDf
+        // rule below): the cached plan carries the probe's shuffle
+        // partitioning, which at small batches would strew one near-empty
+        // file per partition into a table read every epoch
+        ndState.map { case (simNew, _, _, _) => "corpus_sim" ->
+          simNew.coalesce(math.max(1L, math.min(nFetched / 1000000L + 1,
+            spark.sparkContext.defaultParallelism.toLong)).toInt) }
       val ndAppendPaths: Map[String, Seq[String]] =
         ndState.flatMap(_._2).map(d => "neardup_pairs" -> Seq(d)).toMap
       // delta file sizing tracks the DELTA's row count (~1M rows/file,
@@ -895,6 +904,39 @@ final class EpochDriver(
               ndAppendPaths,
             drop = if (headEmpty) Set("frontier_head") else headDrop)
         }
+      }
+      // ---- near-dup append-root consolidation (the archive's
+      // commit-before-move, rename-only scheme): corpus_sim gains one
+      // parquet root per epoch-with-fetches and is read on the EPOCH PATH
+      // (the banded probe), neardup_pairs one per epoch-with-pairs —
+      // unbounded, both listings and every manifest grow linearly with
+      // crawl AGE. Over the cap, merge-move every older root's files into
+      // the NEWEST root (renames, zero rewrite — both tables are immutable
+      // appends, no resolution exists to skip) and swap the manifest to
+      // that one root. Crash-safe by the archive's ordering argument: the
+      // epoch commit above references old roots AND the target, each file
+      // lives in exactly one referenced dir at every instant (multi-path
+      // reads stay complete and duplicate-free), and a crash mid-move
+      // leaves the list over-cap so the next epoch's pass converges it
+      // (prefixes compose, names stay unique). Emptied roots drop out of
+      // the manifest at the swap and expire with the next
+      // expireUnreferenced sweep
+      if (nearDupDocs) {
+        val mNow = store.latest().get
+        val swaps = Seq("corpus_sim", "neardup_pairs").flatMap { t =>
+          val roots = mNow.tables.getOrElse(t, Seq.empty)
+          if (roots.size <= archiveMaxRoots) None
+          else {
+            val target = roots.last
+            roots.dropRight(1).zipWithIndex.foreach { case (r, i) =>
+              store.moveFilesInto(r, target, s"r$i-")
+            }
+            Some(t -> Seq(target))
+          }
+        }
+        if (swaps.nonEmpty)
+          store.commit(epoch, replace = Map.empty, append = Map.empty,
+            counters = mNow.counters, replacePaths = swaps.toMap)
       }
       // seen compaction is GENERATIONAL (tier-1: fold only this cadence
       // window's partitions — O(R × batch) I/O, older generations never

@@ -523,4 +523,46 @@ class EngineSpec extends SparkSpecBase {
       nd(new SnapshotStore(pd, spark)).runEpoch()
     }
   }
+
+  test("near-dup root consolidation: root counts bounded, tables and counters identical to an uncapped twin, resume clean") {
+    def nd(s: SnapshotStore, cap: Int) = new EpochDriver(spark, s, seed,
+      nHosts, epochBudgetMs = budget, nearDupDocs = true,
+      archiveMaxRoots = cap)
+    val dirA = tmpDir(); val storeA = new SnapshotStore(dirA, spark)
+    val dirB = tmpDir(); val storeB = new SnapshotStore(dirB, spark)
+    // cap 1 forces a consolidation on every epoch after the first append;
+    // the twin's cap is never reached, so it keeps one root per epoch
+    val a = nd(storeA, 1); a.init(seeds)
+    val b = nd(storeB, 1000); b.init(seeds)
+    (1 to epochs).foreach { e =>
+      val ma = a.runEpoch(); val mb = b.runEpoch()
+      assert(ma == mb, s"epoch $e counters diverged under the root cap")
+      // consolidation runs inside the epoch: the committed root list is
+      // back at one root whenever an append pushed it to two
+      storeA.expireUnreferenced()
+      val m = storeA.latest().get
+      Seq("corpus_sim", "neardup_pairs").foreach { t =>
+        val n = m.tables.getOrElse(t, Seq.empty).size
+        assert(n <= 1, s"epoch $e: $t holds $n roots under cap 1")
+      }
+    }
+    val mA = storeA.latest().get; val mB = storeB.latest().get
+    assert(mB.tables("corpus_sim").size > 1,
+      "test premise: the uncapped twin accumulated multiple roots")
+    // content identical row-for-row after the renames
+    Seq("corpus_sim", "neardup_pairs").foreach { t =>
+      (storeA.readTable(mA, t), storeB.readTable(mB, t)) match {
+        case (Some(ta), Some(tb)) =>
+          assert(ta.collect().map(_.toSeq).toSet ==
+            tb.collect().map(_.toSeq).toSet,
+            s"$t content diverged under consolidation")
+        case (va, vb) => assert(va.isEmpty == vb.isEmpty,
+          s"$t exists in only one store")
+      }
+    }
+    // a resumed driver probes the consolidated table exactly
+    val resumed = nd(new SnapshotStore(dirA, spark), 1)
+    assert(resumed.runEpoch() == b.runEpoch(),
+      "resume over a consolidated signature store diverged")
+  }
 }
