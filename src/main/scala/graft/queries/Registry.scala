@@ -42,7 +42,7 @@ object Registry {
   lazy val all: Seq[Q] =
     QueriesCrawl.qs ++ QueriesCrawl2.qs ++ QueriesRelational.qs ++
       QueriesText.qs ++ QueriesVector.qs ++ QueriesPipeline.qs ++
-      QueriesFidelity.qs ++ QueriesFrontier.qs
+      QueriesFidelity.qs ++ QueriesFrontier.qs ++ QueriesMedia.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap
