@@ -190,9 +190,15 @@ final class EpochDriver(
     * next epochs take the exact full-view path until a fold rebuilds it.
     */
   def stageRobotsUpdate(rows: Seq[(String, Long, Seq[String])]): Unit =
-    stagedRobots = Some(rows)
+    stagedRobots.set(Some(rows))
 
-  @volatile private var stagedRobots: Option[Seq[(String, Long, Seq[String])]] = None
+  // AtomicReference, not a volatile var: the post-commit clear must be a
+  // compareAndSet — a plain check-then-assign could observe its own staged
+  // value, lose the race to a concurrent stageRobotsUpdate, and then wipe
+  // the NEW update with its assignment (a silently lost robots refresh)
+  private val stagedRobots =
+    new java.util.concurrent.atomic.AtomicReference[
+      Option[Seq[(String, Long, Seq[String])]]](None)
   // per-driver read-through cache of the committed robots table, keyed on
   // the manifest's path list: the table is tiny but joined twice per epoch,
   // and re-reading identical bytes every epoch would pay footer costs for
@@ -320,7 +326,7 @@ final class EpochDriver(
     // store self-migrates by committing the generator rows it crawled
     // with. The delay floor rides the manifest counters, so the common
     // path derives the cut with zero extra Spark work
-    val staged = stagedRobots
+    val staged = stagedRobots.get()
     val (robotsEpoch, floorMs, robotsReplace) = staged match {
       case Some(rows) =>
         val df = Sched.robotsDf(spark, rows)
@@ -953,11 +959,11 @@ final class EpochDriver(
       }
       // the staged robots rows are durable in this epoch's snapshot now; a
       // failed commit leaves them staged so the retry still applies them.
-      // Compare-and-clear: an update staged WHILE this epoch ran (the
-      // field is volatile precisely for cross-thread staging) must survive
-      // to the next epoch, not be wiped with the one just committed
-      if (staged.isDefined && (stagedRobots.asInstanceOf[AnyRef] eq
-          staged.asInstanceOf[AnyRef])) stagedRobots = None
+      // Atomic compare-and-clear: an update staged WHILE this epoch ran
+      // (staging is cross-thread by design) must survive to the next
+      // epoch, not be wiped with the one just committed — including one
+      // that lands between reading the field and clearing it
+      if (staged.isDefined) stagedRobots.compareAndSet(staged, None)
       counters ++ ndCounters
     } finally {
       rankedC.foreach(_.unpersist())

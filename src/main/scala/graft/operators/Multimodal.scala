@@ -97,6 +97,22 @@ object Multimodal {
     */
   val VID_SAMPLE = 8
 
+  /** Proportional cell `[lo, hi)` — THE grid rule, shared by the image luma
+    * cells, the resize cells, and the audio RMS bins: a cell never starts
+    * past the input (`i*n/out <= (out-1)*n/out < n`) and always covers at
+    * least one unit. Long arithmetic inside: `i*n` overflows Int once
+    * `out*n` passes 2^31 — a hostile ~400M-px image dimension decodes on a
+    * large heap, and a 50k-wide pano resized to 50k is past it too. One
+    * implementation so the overflow fix and the invariant live in exactly
+    * one place (three hand-inlined copies of this rule once diverged on
+    * exactly the Int/Long point).
+    */
+  @inline private[graft] def cellBounds(i: Int, n: Int, out: Int): (Int, Int) = {
+    val lo = (i.toLong * n / out).toInt
+    val hi = math.min(n.toLong, math.max((i + 1).toLong * n / out, lo + 1L)).toInt
+    (lo, hi)
+  }
+
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
   /** One schema for every media kind. `width`/`height` carry the kind's
@@ -137,14 +153,13 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val emb = new Array[Float](EMB_DIMS)
-      // proportional cells; a cell never starts past the raster
-      // (gx*w/8 <= 7w/8 < w) and always covers >= 1 pixel row/col
       val x0s = new Array[Int](EMB_GRID)
       val x1s = new Array[Int](EMB_GRID)
       var g = 0
       while (g < EMB_GRID) {
-        x0s(g) = g * w / EMB_GRID
-        x1s(g) = math.min(w, math.max((g + 1) * w / EMB_GRID, x0s(g) + 1))
+        val (lo, hi) = cellBounds(g, w, EMB_GRID)
+        x0s(g) = lo
+        x1s(g) = hi
         g += 1
       }
       // one bulk getRGB per scanline: the per-pixel overload pays a bounds
@@ -157,8 +172,7 @@ object Multimodal {
       val rowBuf = new Array[Int](w)
       var gy = 0
       while (gy < EMB_GRID) {
-        val y0 = gy * h / EMB_GRID
-        val y1 = math.min(h, math.max((gy + 1) * h / EMB_GRID, y0 + 1))
+        val (y0, y1) = cellBounds(gy, h, EMB_GRID)
         val sums = new Array[Double](EMB_GRID)
         var y = y0
         while (y < y1) {
@@ -268,17 +282,14 @@ object Multimodal {
       }
       s / ch
     }
-    // RMS envelope over proportional time bins (image-grid cell rule: a bin
-    // never starts past the waveform and always covers >= 1 frame), each
-    // bin's frames parsed straight out of `raw` — no O(n) mono buffer on
-    // the per-row hot path. Bin indices in Long: g*n overflows Int past
-    // ~33.5M frames (a ~40-min 16 kHz WAV), which corrupted the tail bins
-    // and then threw AIOOBE out of the task instead of stub-falling-back.
+    // RMS envelope over proportional time bins (cellBounds — a ~40-min
+    // 16 kHz WAV already passes the Int-overflow line the shared rule
+    // guards), each bin's frames parsed straight out of `raw` — no O(n)
+    // mono buffer on the per-row hot path.
     val emb = new Array[Float](EMB_DIMS)
     var g = 0
     while (g < EMB_DIMS) {
-      val lo = (g.toLong * n / EMB_DIMS).toInt
-      val hi = math.min(n.toLong, math.max((g + 1).toLong * n / EMB_DIMS, lo + 1L)).toInt
+      val (lo, hi) = cellBounds(g, n, EMB_DIMS)
       var sumSq = 0.0
       var j = lo
       while (j < hi) { val m = monoAt(j); sumSq += m * m; j += 1 }
@@ -288,21 +299,25 @@ object Multimodal {
     Some((fmt.getSampleRate.round, ch, n, emb))
   }
 
-  /** Frame payloads of an AVI container's video stream: a pure RIFF chunk
-    * walk (fourcc + little-endian size + even padding), recursing into LIST
-    * chunks, collecting `##dc`/`##db` stream-data chunks that carry a JPEG
-    * SOI — the MJPEG layout. No codec involved; malformed sizes stop the
-    * walk at whatever parsed cleanly (same lenient posture as the JPEG
-    * marker scan above).
+  /** Frame OFFSETS `[from, until)` of an AVI container's video stream: a
+    * pure RIFF chunk walk (fourcc + little-endian size + even padding),
+    * recursing into LIST chunks, locating `##dc`/`##db` stream-data chunks
+    * that carry a JPEG SOI — the MJPEG layout. No codec involved; malformed
+    * sizes stop the walk at whatever parsed cleanly (same lenient posture
+    * as the JPEG marker scan above). Offsets, not copies: the walk sees
+    * EVERY frame (n_frames is the true count) but decodeVideo samples at
+    * most VID_SAMPLE of them — eagerly copying each chunk would transiently
+    * double a multi-hundred-MB clip on the per-row executor hot path for
+    * bytes that are then never read.
     */
-  private[operators] def aviFrameChunks(p: Array[Byte]): Seq[Array[Byte]] = {
+  private[operators] def aviFrameChunks(p: Array[Byte]): Seq[(Int, Int)] = {
     def u32le(i: Int): Long =
       (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
         ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
     def tag(i: Int, s: String): Boolean =
       s.indices.forall(k => (p(i + k) & 0xff) == s.charAt(k))
     if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return Nil
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     // depth-capped: real AVIs nest LIST 2-3 deep (hdrl/strl, movi/rec);
     // crawled bytes are untrusted, and a crafted chain of nested LISTs
     // (12 bytes per level) would otherwise recurse payload/12 frames deep —
@@ -320,7 +335,7 @@ object Multimodal {
             && ((p(i + 3) & 0xff) == 'c' || (p(i + 3) & 0xff) == 'b')
             && size >= 2 && (p(i + 8) & 0xff) == 0xff
             && (p(i + 9) & 0xff) == 0xd8) {
-          out += java.util.Arrays.copyOfRange(p, i + 8, dataEnd.toInt)
+          out += ((i + 8, dataEnd.toInt))
         }
         i = (dataEnd + (size & 1L)).toInt // chunks pad to even offsets
       }
@@ -346,8 +361,14 @@ object Multimodal {
     val n = frames.size
     if (n == 0) return None
     val k = math.min(VID_SAMPLE, n)
+    // copy ONLY the sampled frames' bytes out of the payload (the walk
+    // returns offsets): per-row transient memory is bounded by the k
+    // decoded frames, never by clip length
     val decoded = (0 until k).iterator
-      .map(j => decodeImage(frames(j * n / k)))
+      .map { j =>
+        val (from, until) = frames(j * n / k)
+        decodeImage(java.util.Arrays.copyOfRange(payload, from, until))
+      }
       .collect { case Some(d) => d }
       .toSeq
     if (decoded.isEmpty) None
@@ -389,11 +410,9 @@ object Multimodal {
       val x1s = new Array[Int](outW)
       var g = 0
       while (g < outW) {
-        // Long arithmetic: g*w overflows Int once outW*w passes 2^31 (a
-        // 50k-wide pano resized to 50k is already past it)
-        x0s(g) = (g.toLong * w / outW).toInt
-        x1s(g) = math.min(w.toLong,
-          math.max((g + 1).toLong * w / outW, x0s(g) + 1L)).toInt
+        val (lo, hi) = cellBounds(g, w, outW)
+        x0s(g) = lo
+        x1s(g) = hi
         g += 1
       }
       val out = new java.awt.image.BufferedImage(outW, outH,
@@ -404,9 +423,7 @@ object Multimodal {
       val sumB = new Array[Long](outW)
       var gy = 0
       while (gy < outH) {
-        val y0 = (gy.toLong * h / outH).toInt
-        val y1 = math.min(h.toLong,
-          math.max((gy + 1).toLong * h / outH, y0 + 1L)).toInt
+        val (y0, y1) = cellBounds(gy, h, outH)
         java.util.Arrays.fill(sumR, 0L)
         java.util.Arrays.fill(sumG, 0L)
         java.util.Arrays.fill(sumB, 0L)

@@ -532,4 +532,26 @@ class MultimodalSpec extends SparkSpecBase {
       .map(r => r.media_id -> r.payload.toSeq).toMap
     assert(again === got.view.mapValues(_.payload.toSeq).toMap)
   }
+
+  test("cellBounds: the shared grid rule survives hostile dimensions and keeps its invariants") {
+    // 7 * 400M overflows Int: the pre-shared decodeImage inlined this rule
+    // in Int arithmetic, so a hostile ~400M-px dimension (allocatable on a
+    // large heap) sent x0s negative and threw AIOOBE out of the task
+    // instead of stub-falling-back
+    val n = 400000000
+    var prevHi = 0
+    (0 until 8).foreach { g =>
+      val (lo, hi) = Multimodal.cellBounds(g, n, 8)
+      assert(lo == (g.toLong * n / 8).toInt, s"cell $g start")
+      assert(lo >= 0 && hi > lo && hi <= n, s"cell $g bounds")
+      assert(lo == prevHi, s"cell $g gapless tiling")
+      prevHi = hi
+    }
+    assert(prevHi == n, "cells cover the input exactly")
+    // sub-grid inputs: every cell still covers >= 1 unit, never past n
+    (0 until 8).foreach { g =>
+      val (lo, hi) = Multimodal.cellBounds(g, 3, 8)
+      assert(hi == lo + 1 && lo >= 0 && hi <= 3, s"sub-grid cell $g")
+    }
+  }
 }
