@@ -41,13 +41,25 @@ object Crawl {
     val seed = 42L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+    // honor externally-provided settings: spark-submit puts --master and
+    // every --conf into sys.props BEFORE main runs, and an unconditional
+    // .master()/.config() here would OVERRIDE them — the documented
+    // `--master yarn --conf spark.sql.shuffle.partitions=2000` cluster
+    // invocation would silently run local[cpus] with 32 shuffle partitions
+    // inside the driver process. Tuning knobs are defaults only;
+    // local[$cpus] is the sandbox default for bare runMain. The session
+    // time zone stays FORCED: KST virtual time / job-id derivation are
+    // UTC-anchored semantics, not tuning
+    var builder = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    def default(k: String, v: String): Unit =
+      if (!sys.props.contains(k)) builder = builder.config(k, v)
+    default("spark.sql.shuffle.partitions", cpus)
+    default("spark.sql.adaptive.enabled", "true")
+    default("spark.ui.enabled", "false")
+    if (!sys.props.contains("spark.master"))
+      builder = builder.master(s"local[$cpus]")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.configure(spark)
 
