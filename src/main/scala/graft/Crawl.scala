@@ -30,6 +30,27 @@ import graft.gen.SimWeb
   * is pure execution strategy.
   */
 object Crawl {
+
+  /** The session settings `main` applies, EXCLUDING anything the deployer
+    * already provided: spark-submit places `--master` and every `--conf`
+    * into system properties BEFORE `main` runs, and an unconditional
+    * `.master()`/`.config()` would override them — the documented
+    * `--master yarn --conf spark.sql.shuffle.partitions=2000` cluster
+    * invocation would silently run `local[cpus]` with 32 shuffle
+    * partitions inside the driver process. Pure so CrawlCliSpec can pin
+    * the precedence rule: `has` answers "did the deployer set this key".
+    * The UTC session time zone is NOT here — it is forced unconditionally
+    * (KST virtual time / job-id derivation are semantics, not tuning).
+    */
+  private[graft] def sessionDefaults(
+      has: String => Boolean, cpus: String): Seq[(String, String)] =
+    Seq(
+      "spark.sql.shuffle.partitions" -> cpus,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.ui.enabled" -> "false",
+      "spark.master" -> s"local[$cpus]"
+    ).filterNot { case (k, _) => has(k) }
+
   def main(args: Array[String]): Unit = {
     val storeDir = args.lift(0).getOrElse("target/crawl-store")
     val nSeeds = args.lift(1).map(_.toInt).getOrElse(200)
@@ -41,25 +62,14 @@ object Crawl {
     val seed = 42L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    // honor externally-provided settings: spark-submit puts --master and
-    // every --conf into sys.props BEFORE main runs, and an unconditional
-    // .master()/.config() here would OVERRIDE them — the documented
-    // `--master yarn --conf spark.sql.shuffle.partitions=2000` cluster
-    // invocation would silently run local[cpus] with 32 shuffle partitions
-    // inside the driver process. Tuning knobs are defaults only;
-    // local[$cpus] is the sandbox default for bare runMain. The session
-    // time zone stays FORCED: KST virtual time / job-id derivation are
-    // UTC-anchored semantics, not tuning
-    var builder = SparkSession.builder()
-      .config("spark.sql.session.timeZone", "UTC")
-    def default(k: String, v: String): Unit =
-      if (!sys.props.contains(k)) builder = builder.config(k, v)
-    default("spark.sql.shuffle.partitions", cpus)
-    default("spark.sql.adaptive.enabled", "true")
-    default("spark.ui.enabled", "false")
-    if (!sys.props.contains("spark.master"))
-      builder = builder.master(s"local[$cpus]")
-    val spark = builder.getOrCreate()
+    // honor externally-provided settings (see sessionDefaults): deployer
+    // values win, these are defaults only; the time zone stays FORCED
+    val spark = sessionDefaults(sys.props.contains, cpus)
+      .foldLeft(SparkSession.builder()
+        .config("spark.sql.session.timeZone", "UTC")) {
+        case (b, (k, v)) => b.config(k, v)
+      }
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.configure(spark)
 
