@@ -41,7 +41,7 @@ object QueriesMedia {
     bb.array()
   }
 
-  private def pngOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+  private def solidOf(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -51,8 +51,33 @@ object QueriesMedia {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
+  }
+
+  private def pngOf(w: Int, h: Int, rgb: Int): Array[Byte] =
+    solidOf(w, h, rgb, "png")
+
+  /** Deterministic MJPEG-in-AVI container: the frames as `00dc` chunks
+    * inside a `movi` LIST (the canonical layout `aviFrameChunks` walks —
+    * RIFF fourcc + little-endian size + even padding throughout). Like
+    * `wavOf`, this synthesizes a REAL container parsed by the production
+    * walker, not a mock of it.
+    */
+  private def aviOf(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSize = 4 + 8 + moviSize
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(moviSize)
+      .put("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      bb.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
   }
 
   /** (r, g, b) if every pixel of the decoded payload carries one color,
@@ -174,5 +199,67 @@ object QueriesMedia {
          |  1::BIGINT << (8 + ${duckMd5Long("doc_id::VARCHAR||'q51v'")} % 7) AS amp_hi
          |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q50, q51)
+  /** q52: the real VIDEO decode (MJPEG-in-AVI) end-to-end under the DuckDB
+    * gate — one synthetic AVI per doc whose frames are solid-GRAY JPEGs
+    * (gray per frame, dims and frame count all md5-derived). Grays are the
+    * exactness trick this time: a uniform gray raster round-trips the JDK
+    * JPEG codec bit-for-bit (RGB(v,v,v) → Y=v exactly since the Rec.601
+    * weights sum to 1, chroma sits at the 128 center, and the constant
+    * block's only nonzero DCT coefficient is a DC the quant table divides —
+    * verified for all 256 values × five raster shapes in this sandbox), so
+    * every sampled frame's luma grid is exactly v/255 and the clip
+    * embedding is the mean over the VID_SAMPLE evenly-spaced frame indices
+    * j·n/k. Scaling the envelope's min and max back by 255·k must return
+    * the integer SUM of the sampled grays on both ends — which pins the
+    * container walk, the frame-SAMPLE selection rule (which indices), the
+    * per-frame pixel decode, and the mean, all from SQL: DuckDB restates
+    * the sum over the same indices with a `range(8)`/`j < k` lateral.
+    * n_frames must report the TRUE container count even when only k=8 of
+    * n frames decode.
+    */
+  private val q52 = Q("q52_mm_video_frames",
+    (s, dir) => {
+      import s.implicits._
+      val ids = tblSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        java.lang.System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = 8 + (CanonJvm.md5Long(id + "q52w") % 25).toInt
+          val h = 8 + (CanonJvm.md5Long(id + "q52h") % 25).toInt
+          val n = 1 + (CanonJvm.md5Long(id + "q52n") % 20).toInt
+          val frames = (0 until n).map { f =>
+            val v = (CanonJvm.md5Long(id + "q52f" + f) % 256).toInt
+            solidOf(w, h, (v << 16) | (v << 8) | v, "jpg")
+          }
+          Multimodal.MediaRow(id, "video", aviOf(frames))
+        }
+      }
+      Multimodal.extractFeatures(media)
+        .map { ft =>
+          val k = math.min(Multimodal.VID_SAMPLE, ft.n_frames)
+          (ft.media_id, ft.width.toLong, ft.height.toLong, ft.n_frames.toLong,
+            math.round(ft.embedding.min * 255.0 * k),
+            math.round(ft.embedding.max * 255.0 * k))
+        }
+        .toDF("doc_id", "width", "height", "n_frames",
+          "gray_sum_lo", "gray_sum_hi")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    8 + ${duckMd5Long("doc_id::VARCHAR||'q52w'")} % 25 AS width,
+         |    8 + ${duckMd5Long("doc_id::VARCHAR||'q52h'")} % 25 AS height,
+         |    1 + ${duckMd5Long("doc_id::VARCHAR||'q52n'")} % 20 AS n_frames
+         |  FROM documents),
+         |k AS (SELECT *, LEAST(8, n_frames) AS k FROM p)
+         |SELECT doc_id, width, height, n_frames,
+         |  (SELECT SUM(${duckMd5Long("k.doc_id::VARCHAR||'q52f'||(t.j * k.n_frames // k.k)")} % 256)::BIGINT
+         |   FROM range(8) t(j) WHERE t.j < k.k) AS gray_sum_lo,
+         |  (SELECT SUM(${duckMd5Long("k.doc_id::VARCHAR||'q52f'||(t.j * k.n_frames // k.k)")} % 256)::BIGINT
+         |   FROM range(8) t(j) WHERE t.j < k.k) AS gray_sum_hi
+         |FROM k ORDER BY doc_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q50, q51, q52)
 }
