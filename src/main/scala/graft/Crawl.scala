@@ -116,6 +116,11 @@ object Crawl {
       // signatures — the steady-state training-data ingest shape. Resume-
       // guarded (cfg_neardup): a store carries the flag it was created with
       nearDupDocs = sys.env.get("SPARK_GRAFT_NEARDUP").contains("1"),
+      // SPARK_GRAFT_MEDIA=1: extract real media features (JDK pixel decode
+      // + luma embedding) from each epoch's fetched docs' media spans into
+      // the media_features table — the media half of the interleaved
+      // corpus ingest. Resume-guarded (cfg_media)
+      mediaDocs = sys.env.get("SPARK_GRAFT_MEDIA").contains("1"),
       sinkDir = sys.env.get("SPARK_GRAFT_SINK_DIR"),
       // SPARK_GRAFT_KAFKA_BRIDGE: Kafka REST bridge base URL — every sink
       // batch body is also POSTed to <url>/topics/<topic> (the reference's

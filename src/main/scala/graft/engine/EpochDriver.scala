@@ -93,6 +93,18 @@ final class EpochDriver(
     // resuming a near-dup store with the flag off would stop accumulating
     // signatures, silently under-reporting every later increment's pairs
     nearDupDocs: Boolean = false,
+    // extract REAL media features from each epoch's fetched documents: the
+    // corpus is INTERLEAVED text + media spans (BASELINE.json input_hint),
+    // and this is the media half of the ingest the near-dup stage performs
+    // for the text half — every ok doc's media spans resolve their
+    // media_ref through the simulated media fetch (MediaFetchSim; a real
+    // deployment GETs the ref) and decode through the production JDK
+    // pixel path (Multimodal.decodeImage) into the append-only
+    // `media_features` table: one (doc_id, media_ref, offset, dims,
+    // embedding) row per media span, the corpus the ANN/near-dup queries
+    // consume. RESUME-GUARDED (cfg_media): resuming a media store with
+    // the flag off would silently stop accumulating features mid-corpus
+    mediaDocs: Boolean = false,
     // schedule from the materialized frontier HEAD (top-K rows per host,
     // committed at each fold) instead of scanning the full pending
     // frontier every epoch. Batch-EXACT, never heuristic — see the head
@@ -226,6 +238,7 @@ final class EpochDriver(
     "cfg_bloom_bits" -> bloomBitsPerSegment.toLong,
     "cfg_bloom_hash_version" -> Bloom.HashVersion,
     "cfg_neardup" -> (if (nearDupDocs) 1L else 0L),
+    "cfg_media" -> (if (mediaDocs) 1L else 0L),
     "cfg_store_layout" -> EpochDriver.StoreLayoutVersion)
 
   /** Guard keys added after stores already existed: a manifest missing the
@@ -238,7 +251,7 @@ final class EpochDriver(
     */
   private val cfgLegacyDefaults: Map[String, Long] =
     Map("cfg_bloom_hash_version" -> 1L, "cfg_store_layout" -> 1L,
-      "cfg_neardup" -> 0L)
+      "cfg_neardup" -> 0L, "cfg_media" -> 0L)
 
   private def requireCfgMatch(counters: Map[String, Long]): Unit =
     cfg.foreach { case (k, v) =>
@@ -626,6 +639,62 @@ final class EpochDriver(
               "neardup_pairs" -> 0L)
         }
 
+      // ---- media feature extraction over the epoch's fetched documents
+      // (the media half of the interleaved corpus, mirroring the near-dup
+      // stage's text half): each ok doc's media spans resolve their
+      // media_ref through the simulated media fetch and decode through the
+      // production JDK pixel path — REAL container bytes, REAL raster
+      // decode, luma-grid embedding — inside one mapPartitions (payload
+      // bytes live only inside the task; the table stores features, never
+      // payloads, so nothing raster-sized ever shuffles or persists).
+      // Write-once staging + footer count, the neardup_pairs pattern.
+      val mediaState: Option[(String, Long)] =
+        if (!mediaDocs || nFetched == 0) None
+        else {
+          val refs = okDocs
+            .select(col("doc_id"), explode(col("spans")).as("span"))
+            .filter(col("span.kind") === "media" && col("span.media_ref") =!= "")
+            .select(col("doc_id"), col("span.media_ref").as("media_ref"),
+              col("span.offset").as("offset"))
+          val theSeed = seed
+          val feats = refs.as[(String, String, Int)].mapPartitions { it =>
+            // partition-local codec init (the extractFeatures posture)
+            java.lang.System.setProperty("java.awt.headless", "true")
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { case (doc, ref, off) =>
+              val payload = graft.fetch.MediaFetchSim.fetchBytes(ref, theSeed)
+              graft.operators.Multimodal.decodeImage(payload) match {
+                case Some((w, h, emb)) =>
+                  (doc, ref, off, w, h, payload.length, emb)
+                case None => // undecodable bytes: stub fallback, same
+                  // posture as extractFeatures (sim payloads always decode)
+                  val (sw, sh, _, semb) =
+                    graft.operators.Multimodal.decodeStub(payload, "image")
+                  (doc, ref, off, sw, sh, payload.length, semb)
+              }
+            }
+          }.toDF("doc_id", "media_ref", "offset", "width", "height",
+            "n_bytes", "embedding")
+          val dir = store.stagingDir("media_features")
+          // file sizing tracks the batch's media-span count (~1M rows/file
+          // — the corpus_sim rule); the refs plan is scan-shaped, so
+          // coalesce suffices
+          feats.coalesce(math.max(1L, math.min(nFetched / 1000000L + 1,
+            spark.sparkContext.defaultParallelism.toLong)).toInt)
+            .write.mode("overwrite").parquet(dir)
+          val n = spark.read.parquet(dir).count()
+          if (n == 0) { store.deletePath(dir); None } // row-less dir hazard
+          else Some((dir, n))
+        }
+      // media_rows carries forward like sim_docs: an absent counter would
+      // read as a reset corpus on the next manifest
+      val mdCounters: Map[String, Long] =
+        if (!mediaDocs) Map.empty
+        else Map("media_rows" -> (m.counters.getOrElse("media_rows", 0L) +
+          mediaState.map(_._2).getOrElse(0L)))
+      val mdAppendPaths: Map[String, Seq[String]] =
+        mediaState.map(s => "media_features" -> Seq(s._1)).toMap
+
       // seen + its Bloom segments are append-only: each epoch contributes
       // only its fresh URLs; seen goes to the bucketed table
       // (epoch-partitioned, idempotent overwrite — see SnapshotStore),
@@ -749,14 +818,14 @@ final class EpochDriver(
             ("seen_bloom" -> bloomFolded) ++ robotsReplace,
           replacePaths = Map("frontier_base" -> Seq(foldDir)),
           append = appendTables - "seen_bloom",
-          counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
+          counters = cfg ++ counters ++ ndCounters ++ mdCounters ++ robotsMeta ++
             foldBytesMeta + ("fold_base_bytes" -> foldBaseBytes) +
             ("pending_rows" -> pendingCount) ++
             (if (headEmpty) Map.empty[String, Long]
              else Map("head_epoch" -> epoch, "head_k" -> headK,
                "head_cut" -> cut)),
           appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
-            ndAppendPaths ++
+            ndAppendPaths ++ mdAppendPaths ++
             (if (archDirs.nonEmpty) Map("frontier_archive" -> archDirs)
              else Map.empty),
           drop = if (headEmpty) Set("frontier_delta", "frontier_head")
@@ -819,11 +888,11 @@ final class EpochDriver(
             replace = robotsReplace,
             append = if (emptyDelta) appendTables
               else appendTables + ("frontier_delta" -> deltaDf),
-            counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
+            counters = cfg ++ counters ++ ndCounters ++ mdCounters ++ robotsMeta ++
               foldBytesMeta ++ pendingMeta ++ headMeta +
               ("delta_rows" -> deltaRowsBound),
             appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
-              ndAppendPaths,
+              ndAppendPaths ++ mdAppendPaths,
             drop = headDrop)
         } else {
           // ---- MINOR fold: resolve the delta LOG into one run (latest row
@@ -894,7 +963,7 @@ final class EpochDriver(
             }) ++ robotsReplace,
             replacePaths = Map("frontier_delta" -> Seq(runDir)),
             append = appendTables,
-            counters = cfg ++ counters ++ ndCounters ++ robotsMeta ++
+            counters = cfg ++ counters ++ ndCounters ++ mdCounters ++ robotsMeta ++
               foldBytesMeta ++ pendingMeta +
               ("fold_delta_bytes" -> foldDeltaBytes) ++
               (headRefresh match {
@@ -907,7 +976,7 @@ final class EpochDriver(
               }) +
               ("delta_rows" -> deltaRowsBound),
             appendPaths = Map("fetch_result" -> Seq(fetchDir)) ++
-              ndAppendPaths,
+              ndAppendPaths ++ mdAppendPaths,
             drop = if (headEmpty) Set("frontier_head") else headDrop)
         }
       }
@@ -927,9 +996,12 @@ final class EpochDriver(
       // (prefixes compose, names stay unique). Emptied roots drop out of
       // the manifest at the swap and expire with the next
       // expireUnreferenced sweep
-      if (nearDupDocs) {
+      val appendRootTables =
+        (if (nearDupDocs) Seq("corpus_sim", "neardup_pairs") else Seq.empty) ++
+          (if (mediaDocs) Seq("media_features") else Seq.empty)
+      if (appendRootTables.nonEmpty) {
         val mNow = store.latest().get
-        val swaps = Seq("corpus_sim", "neardup_pairs").flatMap { t =>
+        val swaps = appendRootTables.flatMap { t =>
           val roots = mNow.tables.getOrElse(t, Seq.empty)
           if (roots.size <= archiveMaxRoots) None
           else {
@@ -964,7 +1036,7 @@ final class EpochDriver(
       // epoch, not be wiped with the one just committed — including one
       // that lands between reading the field and clearing it
       if (staged.isDefined) stagedRobots.compareAndSet(staged, None)
-      counters ++ ndCounters
+      counters ++ ndCounters ++ mdCounters
     } finally {
       rankedC.foreach(_.unpersist())
       candDepthC.foreach(_.unpersist())

@@ -565,4 +565,71 @@ class EngineSpec extends SparkSpecBase {
     assert(resumed.runEpoch() == b.runEpoch(),
       "resume over a consolidated signature store diverged")
   }
+
+  test("epoch-loop media features: one real-decode row per media span; crawl unperturbed; resume-identical and guarded") {
+    val dir = tmpDir()
+    val store = new SnapshotStore(dir, spark)
+    // cap 1 exercises media_features root consolidation in the same run
+    def md(s: SnapshotStore) = new EpochDriver(spark, s, seed, nHosts,
+      epochBudgetMs = budget, mediaDocs = true, archiveMaxRoots = 1)
+    val d = md(store)
+    d.init(seeds)
+    val ms = (1 to epochs).map(_ => d.runEpoch())
+    // enabling the media stage must not perturb the crawl itself
+    val plain = newDriver(tmpDir()); plain.init(seeds)
+    ms.foreach { m =>
+      val pm = plain.runEpoch()
+      assert(pm == m.view.filterKeys(_ != "media_rows").toMap,
+        "media stage changed crawl counters")
+    }
+    val mLast = store.latest().get
+    val feats = store.readTable(mLast, "media_features").get.cache()
+    // exactly one row per media span of every ok fetched doc (keyed by
+    // (doc_id, offset) — span order is the identity within a doc)
+    val expected = store.readTable(mLast, "fetch_result").get
+      .filter(col("status") === "ok")
+      .select(col("canon_url").as("doc_id"), explode(col("spans")).as("span"))
+      .filter(col("span.kind") === "media" && col("span.media_ref") =!= "")
+    val nExpected = expected.count()
+    assert(nExpected > 0, "test premise: the sim web emits media spans")
+    assert(feats.count() == nExpected)
+    assert(mLast.counters("media_rows") == nExpected)
+    assert(feats.select("doc_id", "offset").distinct().count() == nExpected,
+      "duplicate (doc_id, offset) rows in media_features")
+    assert(mLast.tables("media_features").size <= 1,
+      "media_features roots not consolidated under cap 1")
+    // REAL decode, pinned end-to-end: recompute sampled rows through
+    // MediaFetchSim + the production decodeImage directly — dims, byte
+    // count, and the full embedding must match exactly
+    val sample = feats.orderBy("doc_id", "offset").limit(5).collect()
+    sample.foreach { r =>
+      val ref = r.getAs[String]("media_ref")
+      val payload = graft.fetch.MediaFetchSim.fetchBytes(ref, seed)
+      val (w, h, emb) = graft.operators.Multimodal.decodeImage(payload)
+        .getOrElse(fail(s"sim payload for $ref did not decode"))
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h,
+        s"decoded dims mismatch for $ref")
+      assert(r.getAs[Int]("n_bytes") == payload.length)
+      assert(r.getAs[scala.collection.Seq[Float]]("embedding") == emb.toSeq,
+        s"embedding mismatch for $ref")
+    }
+    // resume: a fresh driver continues the feature store exactly — next
+    // epoch matches an uninterrupted twin, and the tables stay identical
+    val twinStore = new SnapshotStore(tmpDir(), spark)
+    val twin = md(twinStore); twin.init(seeds)
+    (1 to epochs).foreach(_ => twin.runEpoch())
+    val resumed = md(new SnapshotStore(dir, spark))
+    assert(resumed.runEpoch() == twin.runEpoch(),
+      "resume across the media store diverged")
+    val ta = store.readTable(store.latest().get, "media_features").get
+    val tb = twinStore.readTable(twinStore.latest().get, "media_features").get
+    assert(ta.collect().map(_.toSeq).toSet == tb.collect().map(_.toSeq).toSet,
+      "media_features content diverged across resume")
+    // and the flag is resume-guarded in both directions (cfg_media)
+    intercept[IllegalArgumentException] { newDriver(dir).runEpoch() }
+    intercept[IllegalArgumentException] {
+      val pd = tmpDir(); val p2 = newDriver(pd); p2.init(seeds); p2.runEpoch()
+      md(new SnapshotStore(pd, spark)).runEpoch()
+    }
+  }
 }

@@ -554,4 +554,31 @@ class MultimodalSpec extends SparkSpecBase {
       assert(hi == lo + 1 && lo >= 0 && hi <= 3, s"sub-grid cell $g")
     }
   }
+
+  test("MediaFetchSim: real decodable JPEG, deterministic, size-segment parsed with a hash fallback") {
+    import graft.fetch.MediaFetchSim
+    val seed = 42L
+    val ref = "https://img.cdn.example.com/remote/230x230/image/i123.jpg"
+    val a = MediaFetchSim.fetchBytes(ref, seed)
+    // determinism: byte-identical across calls (downstream features are
+    // pure in the ref, the property the engine's resume equality rides on)
+    assert(java.util.Arrays.equals(a, MediaFetchSim.fetchBytes(ref, seed)))
+    // a REAL container: the production decode path accepts it, and the
+    // served dims are the requested dims folded into [8, 48]
+    val (w, h, emb) = Multimodal.decodeImage(a).get
+    assert(w == 8 + 230 % 41 && h == 8 + 230 % 41)
+    assert(emb.length == Multimodal.EMB_DIMS && emb.forall(v => v >= 0f && v <= 1f))
+    // different refs serve different pixels (the gradient varies), and a
+    // different seed is a different web
+    val b = MediaFetchSim.fetchBytes(
+      "https://img.cdn.example.com/remote/230x230/image/i124.jpg", seed)
+    assert(!java.util.Arrays.equals(a, b), "distinct refs served identical bytes")
+    assert(!java.util.Arrays.equals(a, MediaFetchSim.fetchBytes(ref, seed + 1)))
+    // refs without a parseable size segment still serve deterministically
+    // (hash-derived request dims) and still decode
+    val c = MediaFetchSim.fetchBytes("https://other.example.com/x.jpg", seed)
+    assert(Multimodal.decodeImage(c).isDefined)
+    assert(java.util.Arrays.equals(c,
+      MediaFetchSim.fetchBytes("https://other.example.com/x.jpg", seed)))
+  }
 }
