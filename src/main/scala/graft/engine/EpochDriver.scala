@@ -663,23 +663,24 @@ final class EpochDriver(
             javax.imageio.ImageIO.setUseCache(false)
             it.map { case (doc, ref, off) =>
               val payload = graft.fetch.MediaFetchSim.fetchBytes(ref, theSeed)
-              graft.operators.Multimodal.decodeImage(payload) match {
-                case Some((w, h, emb)) =>
-                  (doc, ref, off, w, h, payload.length, emb)
-                case None => // undecodable bytes: stub fallback, same
-                  // posture as extractFeatures (sim payloads always decode)
-                  val (sw, sh, _, semb) =
-                    graft.operators.Multimodal.decodeStub(payload, "image")
-                  (doc, ref, off, sw, sh, payload.length, semb)
-              }
+              // shared decode-or-stub posture (incl. header-dims recovery
+              // for undecodable-but-headered bytes) — one implementation,
+              // so this stage and extractFeatures can never drift
+              val (w, h, emb, _) =
+                graft.operators.Multimodal.imageFeatures(payload)
+              (doc, ref, off, w, h, payload.length, emb)
             }
           }.toDF("doc_id", "media_ref", "offset", "width", "height",
             "n_bytes", "embedding")
           val dir = store.stagingDir("media_features")
-          // file sizing tracks the batch's media-span count (~1M rows/file
-          // — the corpus_sim rule); the refs plan is scan-shaped, so
-          // coalesce suffices
-          feats.coalesce(math.max(1L, math.min(nFetched / 1000000L + 1,
+          // repartition AFTER the decode, never coalesce: coalesce is
+          // narrow, so it would collapse the uncached synth+decode map
+          // itself to the output file count — at small batches ONE task
+          // doing every JPEG round-trip (measured: +51 s/6-epoch run).
+          // The shuffle moves only feature rows (~hundreds of bytes each);
+          // file sizing tracks the fetched-doc count (spans/doc is a
+          // small corpus constant, so ~1M-row files up to that factor)
+          feats.repartition(math.max(1L, math.min(nFetched / 1000000L + 1,
             spark.sparkContext.defaultParallelism.toLong)).toInt)
             .write.mode("overwrite").parquet(dir)
           val n = spark.read.parquet(dir).count()

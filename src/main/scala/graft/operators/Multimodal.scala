@@ -532,6 +532,25 @@ object Multimodal {
     (w, ht, frames, emb)
   }
 
+  /** Image decode with the stub fallback POSTURE as a reusable unit —
+    * shared by [[extractFeatures]] and the engine's epoch-loop media stage
+    * so every image consumer records identical metadata for the same
+    * payload: a decodable raster yields real (w, h, luma embedding);
+    * undecodable bytes fall to the stub's deterministic features, EXCEPT
+    * that a still-parseable container header (truncated file) keeps its
+    * REAL dimensions. Returns (width, height, embedding, decoded).
+    */
+  def imageFeatures(payload: Array[Byte]): (Int, Int, Array[Float], Boolean) =
+    decodeImage(payload) match {
+      case Some((w, h, emb)) => (w, h, emb, true)
+      case None =>
+        val (sw, sh, _, semb) = decodeStub(payload, "image")
+        val (hw, hh) = parseImageHeader(payload)
+          .map { case (_, pw, ph) => (pw, ph) }
+          .getOrElse((sw, sh))
+        (hw, hh, semb, false)
+    }
+
   /** The distributed decode pipeline: partition-local init (the "model
     * load"), then per-row decode. Input partitioning is preserved — callers
     * repartition upstream if payload sizes are skewed.
@@ -554,23 +573,15 @@ object Multimodal {
         // audio/video payload can legitimately START with JPEG/PNG magic
         // (embedded cover art), and decoding that would silently assign
         // the artwork's features to the track.
-        val decoded = r.kind match {
-          case "image" => decodeImage(r.payload).map { case (w, h, e) => (w, h, 1, e) }
-          case "audio" => decodeAudio(r.payload)
-          case "video" => decodeVideo(r.payload)
-          case _       => None
-        }
-        val (w, h, f, emb) = decoded match {
-          case Some((pw, ph, pf, pemb)) => (pw, ph, pf, pemb)
-          case None =>
-            val (sw, sh, sf, semb) = decodeStub(r.payload, r.kind)
-            // undecodable image bytes may still carry a parseable container
-            // header (truncated file): metadata stays real where it can be
-            val (hw, hh) = (if (r.kind == "image") parseImageHeader(r.payload)
-              else None)
-              .map { case (_, pw, ph) => (pw, ph) }
-              .getOrElse((sw, sh))
-            (hw, hh, sf, semb)
+        val (w, h, f, emb) = r.kind match {
+          case "image" =>
+            val (iw, ih, ie, _) = imageFeatures(r.payload)
+            (iw, ih, 1, ie)
+          case "audio" =>
+            decodeAudio(r.payload).getOrElse(decodeStub(r.payload, "audio"))
+          case "video" =>
+            decodeVideo(r.payload).getOrElse(decodeStub(r.payload, "video"))
+          case _ => decodeStub(r.payload, r.kind)
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, f, emb)
       }
