@@ -222,15 +222,19 @@ object Bench {
         // sample out of band (observed: 0.751 with NEITHER leg contended,
         // against a 0.82-0.91 six-run quiet record — the N min happened to
         // land at its all-time-fastest wall while the 4N mins sat ~10%
-        // high). External load only ever INFLATES a wall, so an extra
-        // interleaved round refines BOTH mins symmetrically; bounded at
-        // two rounds so a genuinely sub-0.8 engine cannot retry its way
-        // into band — it just records more sub-0.8 walls, all of which
-        // (plus eff_rounds) stay in the artifact for recomputation
+        // high). External load only ever INFLATES a wall, so extra
+        // interleaved rounds refine BOTH mins symmetrically. Once
+        // triggered, EXACTLY two rounds run — never "until the ratio
+        // crosses 0.8": stopping at the threshold would be a one-sided
+        // optional-stopping rule that systematically reports marginal
+        // engines as passing the gated statistic; with a fixed extra
+        // sample size the final ratio can land back below the bar and is
+        // reported there. A genuinely sub-0.8 engine just records more
+        // sub-0.8 walls — all walls plus eff_rounds stay in the artifact
         def minEff(): Double =
           tN.map(_._3).min / (4.0 * t4n.map(_._3).min)
         var effRounds = 0
-        while (minEff() < 0.8 && effRounds < 2) { round(); effRounds += 1 }
+        if (minEff() < 0.8) { round(); round(); effRounds = 2 }
         val (nf4, fr4, wall4n) = t4n.minBy(_._3)
         val (nfN, frN, wallN) = tN.minBy(_._3)
         val eff = wallN / (4.0 * wall4n)

@@ -73,16 +73,18 @@ final class EpochDriver(
     // Pure execution strategy (batches, counters, views byte-identical —
     // EngineSpec/FrontierLogSpec), so not resume-guarded
     compactDeltaEvery: Int = 0,
-    // cap on APPEND-table parquet roots (frontier_archive, and with
-    // near-dup on: corpus_sim / neardup_pairs): each append commits one
-    // root, and an unbounded list grows the read plan and every manifest
-    // linearly with crawl AGE — corpus_sim is read ON THE EPOCH PATH (the
-    // banded probe), so its listing cost recurs every epoch. When a
-    // table's root count passes the cap, the older roots' files are
-    // MERGE-MOVED (file renames, zero rewrite — all three tables are
-    // immutable appends, nothing ever needs resolution) into the newest
-    // root and a second manifest swap retires them. Pure layout knob
-    // (view-identical, FrontierLogSpec/EngineSpec), so not resume-guarded
+    // cap on APPEND-table parquet roots (frontier_archive, and with the
+    // stages on: corpus_sim / neardup_pairs / media_features): each append
+    // commits one root, and an unbounded list grows the read plan and
+    // every manifest linearly with crawl AGE — corpus_sim is read ON THE
+    // EPOCH PATH (the banded probe), so its listing cost recurs every
+    // epoch. When a table's root count passes the cap, the newer roots'
+    // files are MERGE-MOVED (file renames, zero rewrite — these tables
+    // are immutable appends, nothing ever needs resolution) into the
+    // PERMANENT oldest root and a second manifest swap retires them — see
+    // consolidateRoots for why the target must be the oldest (files move
+    // at most once). Pure layout knob (view-identical,
+    // FrontierLogSpec/EngineSpec), so not resume-guarded
     archiveMaxRoots: Int = 8,
     // near-dup each epoch's fetched documents against the persisted corpus
     // signature table and append the batch's signatures — the steady-state
@@ -147,6 +149,12 @@ final class EpochDriver(
 
   import spark.implicits._
 
+  // the bridge POST rides the sink's flush path: a bridge URL without a
+  // sink dir would silently emit NOTHING over the wire — fail loudly at
+  // construction instead of leaving the dependency as a comment
+  require(sinkBridge.isEmpty || sinkDir.isDefined,
+    "sinkBridge requires sinkDir: bridge POSTs ride the sink flush path")
+
   private val defaultDelayMs = 2500L
   // the INIT robots resolution (a real deployment fetches robots.txt for
   // the seed hosts here): init commits these rows as the versioned `robots`
@@ -191,6 +199,46 @@ final class EpochDriver(
   private def headWorthwhile(kPerHost: Long, pendingRows: Option[Long]): Boolean =
     pendingRows.forall(p =>
       nHosts.toDouble * kPerHost <= p.toDouble * headMaxPendingFraction)
+
+  /** Merge-move an over-cap append-table root list into its OLDEST root;
+    * returns the one-root list for the manifest swap, or None under cap.
+    * ONE shared implementation for every append-rooted table
+    * (frontier_archive, corpus_sim, neardup_pairs, media_features) — the
+    * commit-before-move crash argument and the naming rule must not live
+    * in per-table copies that can drift.
+    *
+    * The target being the PERMANENT head root makes every file move at
+    * most once over the table's lifetime: later appends land AFTER the
+    * head in the manifest list, so a consolidated file is never a move
+    * source again. (The previous newest-root target re-prefixed and
+    * re-renamed the ENTIRE history every cycle — O(crawl age) renames per
+    * cycle, and names grew a prefix each pass toward the filesystem's
+    * 255-char component limit, a guaranteed eventual crash on a
+    * long-running crawl.) The r<i>- prefix disambiguates same-named files
+    * from different source roots within one pass; across passes the part
+    * files' write-job UUIDs already make names unique.
+    *
+    * Crash-safe by ordering: the epoch commit preceding this call
+    * references the old roots AND the head, renames keep each file in
+    * exactly one referenced location at every instant (multi-root reads
+    * stay complete and duplicate-free), and a crash mid-move leaves a
+    * still-over-cap list the next pass converges. Emptied roots leave the
+    * manifest at the swap and expire with the next sweep. `subdirs` names
+    * partition dirs inside each root (Seq("") = flat table).
+    */
+  private def consolidateRoots(roots: Seq[String],
+      subdirs: Seq[String]): Option[Seq[String]] =
+    if (roots.size <= archiveMaxRoots) None
+    else {
+      val target = roots.head
+      roots.tail.zipWithIndex.foreach { case (root, i) =>
+        subdirs.foreach { sub =>
+          val suffix = if (sub.isEmpty) "" else s"/$sub"
+          store.moveFilesInto(s"$root$suffix", s"$target$suffix", s"r$i-")
+        }
+      }
+      Some(Seq(target))
+    }
 
   /** Queue a robots refresh (new (host, crawl_delay_ms, disallow) rows —
     * the reference re-fetches robots.txt mid-crawl; the engine analog is a
@@ -831,29 +879,16 @@ final class EpochDriver(
              else Map.empty),
           drop = if (headEmpty) Set("frontier_delta", "frontier_head")
             else Set("frontier_delta"))
-        // ---- archive-root consolidation (commit-before-move, rename-only):
-        // once the root list exceeds archiveMaxRoots, merge-move every
-        // OLDER root's files into this fold's fresh root, then swap the
-        // manifest to reference just that one. Crash-safe by ordering: the
-        // fold commit above already references old roots AND the target, a
-        // rename keeps each file in exactly one referenced location, so any
-        // crash mid-move leaves a view that is complete and duplicate-free —
-        // and still over-cap, so the NEXT fold's pass converges it (prefixes
-        // compose, names stay unique). Old roots end up holding only empty
-        // state dirs; after the swap they are unreferenced and expire
+        // ---- archive-root consolidation: consolidateRoots (rename-only,
+        // into the PERMANENT oldest root — files move at most once). Newer
+        // roots end up holding only marker files; after the swap they are
+        // unreferenced and expire
         val archRoots = mFold.tables.getOrElse("frontier_archive", Seq.empty)
-        if (archDirs.nonEmpty && archRoots.size > archiveMaxRoots) {
-          val target = archDirs.head
-          archRoots.filterNot(_ == target).zipWithIndex.foreach {
-            case (root, i) =>
-              Seq("fetched", "failed").foreach(st =>
-                store.moveFilesInto(s"$root/state=$st",
-                  s"$target/state=$st", s"r$i-"))
-          }
-          store.commit(epoch, replace = Map.empty, append = Map.empty,
-            counters = mFold.counters,
-            replacePaths = Map("frontier_archive" -> Seq(target)))
-        }
+        consolidateRoots(archRoots, Seq("state=fetched", "state=failed"))
+          .foreach(kept =>
+            store.commit(epoch, replace = Map.empty, append = Map.empty,
+              counters = mFold.counters,
+              replacePaths = Map("frontier_archive" -> kept)))
       } else {
         // an all-empty epoch appends no delta: an empty parquet dir at the
         // head of the delta list would break schema inference on read.
@@ -981,21 +1016,16 @@ final class EpochDriver(
             drop = if (headEmpty) Set("frontier_head") else headDrop)
         }
       }
-      // ---- near-dup append-root consolidation (the archive's
-      // commit-before-move, rename-only scheme): corpus_sim gains one
-      // parquet root per epoch-with-fetches and is read on the EPOCH PATH
-      // (the banded probe), neardup_pairs one per epoch-with-pairs —
-      // unbounded, both listings and every manifest grow linearly with
-      // crawl AGE. Over the cap, merge-move every older root's files into
-      // the NEWEST root (renames, zero rewrite — both tables are immutable
-      // appends, no resolution exists to skip) and swap the manifest to
-      // that one root. Crash-safe by the archive's ordering argument: the
-      // epoch commit above references old roots AND the target, each file
-      // lives in exactly one referenced dir at every instant (multi-path
-      // reads stay complete and duplicate-free), and a crash mid-move
-      // leaves the list over-cap so the next epoch's pass converges it
-      // (prefixes compose, names stay unique). Emptied roots drop out of
-      // the manifest at the swap and expire with the next
+      // ---- per-epoch append-root consolidation (consolidateRoots, shared
+      // with the archive): corpus_sim gains one parquet root per
+      // epoch-with-fetches and is read on the EPOCH PATH (the banded
+      // probe), neardup_pairs and media_features one per such epoch —
+      // unbounded, every listing and manifest growing linearly with crawl
+      // AGE. Over the cap the newer roots' files merge-move (renames, zero
+      // rewrite — all three are immutable appends, no resolution exists to
+      // skip) into the permanent oldest root and the manifest swaps to
+      // that one root. Emptied roots drop out at the swap and expire with
+      // the next
       // expireUnreferenced sweep
       val appendRootTables =
         (if (nearDupDocs) Seq("corpus_sim", "neardup_pairs") else Seq.empty) ++
@@ -1003,15 +1033,8 @@ final class EpochDriver(
       if (appendRootTables.nonEmpty) {
         val mNow = store.latest().get
         val swaps = appendRootTables.flatMap { t =>
-          val roots = mNow.tables.getOrElse(t, Seq.empty)
-          if (roots.size <= archiveMaxRoots) None
-          else {
-            val target = roots.last
-            roots.dropRight(1).zipWithIndex.foreach { case (r, i) =>
-              store.moveFilesInto(r, target, s"r$i-")
-            }
-            Some(t -> Seq(target))
-          }
+          consolidateRoots(mNow.tables.getOrElse(t, Seq.empty), Seq(""))
+            .map(t -> _)
         }
         if (swaps.nonEmpty)
           store.commit(epoch, replace = Map.empty, append = Map.empty,

@@ -223,8 +223,21 @@ object Multimodal {
     * image grid) — the deterministic stand-in for a learned audio encoder,
     * with the identical Spark-side contract.
     */
+  /** Upper bound on audio payloads the decoder will materialize: the PCM
+    * read below holds the whole (possibly 2×-widened by the µ-law/a-law
+    * conversion) sample stream in memory, and crawled bytes are untrusted —
+    * a multi-GB payload's OutOfMemoryError is an Error that passes straight
+    * through the NonFatal catches and kills the task (possibly the JVM)
+    * instead of stub-falling-back. Beyond the cap the row routes to the
+    * stub — the same bounded-per-row-cost posture as VID_SAMPLE; a real
+    * pipeline ingests long-form audio through a chunking stage, not a
+    * per-row decode.
+    */
+  val MaxAudioBytes: Int = 256 << 20
+
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (payload.length > MaxAudioBytes) return None
     val in =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -321,26 +334,30 @@ object Multimodal {
     // depth-capped: real AVIs nest LIST 2-3 deep (hdrl/strl, movi/rec);
     // crawled bytes are untrusted, and a crafted chain of nested LISTs
     // (12 bytes per level) would otherwise recurse payload/12 frames deep —
-    // a StackOverflowError no NonFatal catch on the decode path survives
-    def walk(start: Int, end: Int, depth: Int): Unit = {
+    // a StackOverflowError no NonFatal catch on the decode path survives.
+    // The cursor is Long: with Int arithmetic a payload within 8 bytes of
+    // Int.MaxValue (allocatable — the 400M-px image threat class) lets
+    // `i + 8` wrap negative, pass the guard, and index out of bounds
+    def walk(start: Long, end: Long, depth: Int): Unit = {
       if (depth > 16) return
       var i = start
       while (i + 8 <= end) {
-        val size = u32le(i + 4)
+        val ii = i.toInt // i < end <= p.length, so the cast is exact
+        val size = u32le(ii + 4)
         val dataEnd = i + 8 + size
         if (size < 0 || dataEnd > end) return // malformed: stop cleanly
-        if (tag(i, "LIST")) {
-          if (size >= 4) walk(i + 12, dataEnd.toInt, depth + 1) // skip the list type
-        } else if ((p(i + 2) & 0xff) == 'd'
-            && ((p(i + 3) & 0xff) == 'c' || (p(i + 3) & 0xff) == 'b')
-            && size >= 2 && (p(i + 8) & 0xff) == 0xff
-            && (p(i + 9) & 0xff) == 0xd8) {
-          out += ((i + 8, dataEnd.toInt))
+        if (tag(ii, "LIST")) {
+          if (size >= 4) walk(i + 12, dataEnd, depth + 1) // skip the list type
+        } else if ((p(ii + 2) & 0xff) == 'd'
+            && ((p(ii + 3) & 0xff) == 'c' || (p(ii + 3) & 0xff) == 'b')
+            && size >= 2 && (p(ii + 8) & 0xff) == 0xff
+            && (p(ii + 9) & 0xff) == 0xd8) {
+          out += ((ii + 8, dataEnd.toInt))
         }
-        i = (dataEnd + (size & 1L)).toInt // chunks pad to even offsets
+        i = dataEnd + (size & 1L) // chunks pad to even offsets
       }
     }
-    walk(12, math.min(p.length.toLong, 8L + u32le(4)).toInt, 0)
+    walk(12L, math.min(p.length.toLong, 8L + u32le(4)), 0)
     out.toSeq
   }
 

@@ -45,6 +45,17 @@ import org.apache.spark.sql.functions._
   */
 object RecordSink {
 
+  /** One bridge client per JVM, built lazily on first executor-side use:
+    * the JDK HttpClient owns a selector-manager thread and a connection
+    * pool that are reclaimed only when the client is GC'd (no close()
+    * before Java 21), so a client per task would leak one of each per sink
+    * task between GCs on a long crawl. Thread-safe by the JDK contract;
+    * timeouts are per-request, so sharing costs nothing.
+    */
+  private lazy val bridgeClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
   /** Emit `df` to `topicDir`, one JSON bridge payload per ≤`batchSize`
     * rows per partition. `keyCol` becomes each record's key (the
     * reference keys on job_id); the full row becomes the value. `tag`
@@ -88,11 +99,10 @@ object RecordSink {
         val dir = new HPath(topicDir)
         val fc = FileContext.getFileContext(dir.toUri, hadoopConf.value)
         fc.mkdir(dir, FsPermission.getDirDefault, true)
-        // the bridge "connection" is partition-local init (SURVEY R3), like
-        // the FileContext above: one client per task, reused for every batch
+        // the bridge "connection" amortizes ACROSS tasks, not per task: the
+        // shared per-JVM client (bridgeClient above — R3 taken one step
+        // further, since the client is stateless between requests)
         val post: Option[String => Unit] = bridgeUrl.map { base =>
-          val client = java.net.http.HttpClient.newBuilder()
-            .connectTimeout(java.time.Duration.ofSeconds(5)).build()
           val uri = java.net.URI.create(s"$base/topics/$topicName")
           body => {
             val req = java.net.http.HttpRequest.newBuilder(uri)
@@ -100,7 +110,7 @@ object RecordSink {
               .header("Content-Type", "application/vnd.kafka.json.v2+json")
               .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body, UTF_8))
               .build()
-            val res = client.send(req,
+            val res = bridgeClient.send(req,
               java.net.http.HttpResponse.BodyHandlers.discarding())
             if (res.statusCode() / 100 != 2)
               throw new RuntimeException(

@@ -549,6 +549,20 @@ class EngineSpec extends SparkSpecBase {
     val mA = storeA.latest().get; val mB = storeB.latest().get
     assert(mB.tables("corpus_sim").size > 1,
       "test premise: the uncapped twin accumulated multiple roots")
+    // files move AT MOST ONCE: cap 1 consolidates every epoch, which under
+    // a newest-root target would stack one r<i>- prefix per cycle onto the
+    // whole history (unbounded name growth + O(age) renames per cycle);
+    // the permanent-oldest-root target must leave every name singly
+    // prefixed no matter how many cycles ran
+    Seq("corpus_sim", "neardup_pairs").foreach { t =>
+      mA.tables.getOrElse(t, Seq.empty).foreach { root =>
+        val names = new java.io.File(root).list()
+        assert(names != null && names.nonEmpty, s"$t root $root empty")
+        val stacked = names.filter(_.matches("^r\\d+-r\\d+-.*"))
+        assert(stacked.isEmpty,
+          s"$t files re-renamed across cycles: ${stacked.take(3).toSeq}")
+      }
+    }
     // content identical row-for-row after the renames
     Seq("corpus_sim", "neardup_pairs").foreach { t =>
       (storeA.readTable(mA, t), storeB.readTable(mB, t)) match {
@@ -613,6 +627,13 @@ class EngineSpec extends SparkSpecBase {
       assert(r.getAs[scala.collection.Seq[Float]]("embedding") == emb.toSeq,
         s"embedding mismatch for $ref")
     }
+    // release the cached 3-epoch relation BEFORE advancing the store: the
+    // permanent consolidation target means later epochs move files INTO
+    // the same directory path, and a DataFrame cached across commits pins
+    // the stale relation for any same-path read (exactly the "no live job
+    // holds lineage across epochs" discipline SnapshotStore documents —
+    // the engine itself never caches store reads across epochs)
+    feats.unpersist()
     // resume: a fresh driver continues the feature store exactly — next
     // epoch matches an uninterrupted twin, and the tables stay identical
     val twinStore = new SnapshotStore(tmpDir(), spark)
@@ -621,10 +642,19 @@ class EngineSpec extends SparkSpecBase {
     val resumed = md(new SnapshotStore(dir, spark))
     assert(resumed.runEpoch() == twin.runEpoch(),
       "resume across the media store diverged")
-    val ta = store.readTable(store.latest().get, "media_features").get
-    val tb = twinStore.readTable(twinStore.latest().get, "media_features").get
-    assert(ta.collect().map(_.toSeq).toSet == tb.collect().map(_.toSeq).toSet,
-      "media_features content diverged across resume")
+    // normalize rows before comparing: the embedding column can surface
+    // from collect() as a raw Array (reference equality) depending on the
+    // physical plan — convert to Vector so the comparison is structural
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("doc_id"), r.getAs[String]("media_ref"),
+        r.getAs[Int]("offset"), r.getAs[Int]("width"),
+        r.getAs[Int]("height"), r.getAs[Int]("n_bytes"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toVector)
+    }.toSet
+    val ta = rowsOf(store.readTable(store.latest().get, "media_features").get)
+    val tb = rowsOf(
+      twinStore.readTable(twinStore.latest().get, "media_features").get)
+    assert(ta == tb, "media_features content diverged across resume")
     // and the flag is resume-guarded in both directions (cfg_media)
     intercept[IllegalArgumentException] { newDriver(dir).runEpoch() }
     intercept[IllegalArgumentException] {

@@ -114,4 +114,16 @@ class KafkaBridgeSpec extends SparkSpecBase {
       assert(wireRecords.sorted == fileRecords.sorted)
     }
   }
+
+  test("a bridge URL without a sink dir is rejected at construction, not silently ignored") {
+    // the POST rides the sink flush path: without a sink dir zero requests
+    // would ever leave the process, and nothing would say why
+    intercept[IllegalArgumentException] {
+      new graft.engine.EpochDriver(spark,
+        new graft.ckpt.SnapshotStore(
+          java.nio.file.Files.createTempDirectory("bridge-cfg").toString,
+          spark),
+        seed = 7L, nHosts = 10, sinkBridge = Some("http://localhost:1"))
+    }
+  }
 }

@@ -555,6 +555,29 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("audio payloads beyond MaxAudioBytes route to the stub instead of materializing") {
+    // an over-cap payload must be REFUSED by a length check before any
+    // parse or allocation: the readAllBytes materialization would turn a
+    // multi-GB crawled payload into an OutOfMemoryError, which is an Error
+    // — it passes the NonFatal catches and kills the task
+    val big = new Array[Byte](Multimodal.MaxAudioBytes + 1)
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodeAudio(big).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0,
+      "over-cap refusal must be O(1), not a parse attempt")
+    // and a normal WAV still decodes (the cap only bounds, never breaks)
+    val bb = java.nio.ByteBuffer.allocate(44 + 200)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 200)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(200)
+    (0 until 100).foreach(_ => bb.putShort(1000))
+    assert(Multimodal.decodeAudio(bb.array()).isDefined)
+  }
+
   test("MediaFetchSim: real decodable JPEG, deterministic, size-segment parsed with a hash fallback") {
     import graft.fetch.MediaFetchSim
     val seed = 42L
