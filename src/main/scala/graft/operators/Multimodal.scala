@@ -231,9 +231,13 @@ object Multimodal {
     * instead of stub-falling-back. Beyond the cap the row routes to the
     * stub — the same bounded-per-row-cost posture as VID_SAMPLE; a real
     * pipeline ingests long-form audio through a chunking stage, not a
-    * per-row decode.
+    * per-row decode. Sized so the worst-case transient (µ-law widened 2×
+    * by the converter, then readAllBytes' accumulate-then-copy doubling
+    * that again ≈ 4× the payload) stays a modest fraction of a typical
+    * per-task heap share — 64 MB already covers ~35 minutes of 16 kHz
+    * mono PCM, far past any crawled page asset.
     */
-  val MaxAudioBytes: Int = 256 << 20
+  val MaxAudioBytes: Int = 64 << 20
 
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -343,9 +347,9 @@ object Multimodal {
       var i = start
       while (i + 8 <= end) {
         val ii = i.toInt // i < end <= p.length, so the cast is exact
-        val size = u32le(ii + 4)
+        val size = u32le(ii + 4) // unsigned: always in [0, 0xFFFFFFFF]
         val dataEnd = i + 8 + size
-        if (size < 0 || dataEnd > end) return // malformed: stop cleanly
+        if (dataEnd > end) return // malformed/oversize chunk: stop cleanly
         if (tag(ii, "LIST")) {
           if (size >= 4) walk(i + 12, dataEnd, depth + 1) // skip the list type
         } else if ((p(ii + 2) & 0xff) == 'd'

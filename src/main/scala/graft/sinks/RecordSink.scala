@@ -67,8 +67,8 @@ object RecordSink {
     * `bridgeUrl`: the REAL Kafka REST transport. When set, every flushed
     * batch body is ALSO POSTed to `<bridgeUrl>/topics/<topic dir name>`
     * with the bridge content type (`application/vnd.kafka.json.v2+json`,
-    * kafka_producer.py:30-41), one partition-local JDK HttpClient per
-    * task, 5 s timeouts like the reference, and a non-2xx response raised
+    * kafka_producer.py:30-41), one shared JDK HttpClient per executor JVM
+    * ([[bridgeClient]]), 5 s timeouts like the reference, and a non-2xx response raised
     * as an error (`res.raise_for_status()`, kafka_producer.py:42) — so a
     * failed POST fails the task and Spark's retry re-emits the batch:
     * at-least-once over the wire, exactly the reference's semantics (its
