@@ -77,6 +77,27 @@ final class SnapshotStore(rootDir: String, spark: SparkSession,
   def readTable(m: Manifest, table: String): Option[DataFrame] =
     m.tables.get(table).filter(_.nonEmpty).map(ps => spark.read.parquet(ps: _*))
 
+  /** Does `dir` (recursively) hold at least one data file? Root
+    * consolidation drains source roots by rename BEFORE the manifest swap
+    * commits, so a crash in that window leaves a referenced-but-file-less
+    * root until the next pass converges it; PER-ROOT readers (hive-
+    * partitioned tables reject multi-root inference, so frontier_archive
+    * reads one root at a time) must skip such roots instead of failing
+    * parquet schema inference on them. Cost: one listing per subdir —
+    * roots hold at most a couple of state= dirs.
+    */
+  def hasDataFiles(dir: String): Boolean = {
+    def rec(h: HPath): Boolean =
+      fc.util.listStatus(h).exists { st =>
+        if (st.isFile)
+          !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        else rec(st.getPath)
+      }
+    val p = new HPath(dir)
+    fc.util.exists(p) && rec(p)
+  }
+
   /** The version the NEXT commit will get (single-writer store), and the
     * data directory that commit would assign to `table`. Callers that must
     * make a table's bytes durable BEFORE building downstream results (the

@@ -910,15 +910,17 @@ final class EpochDriver(
         // log and the counter together
         val deltaRowsBound =
           m.counters.getOrElse("delta_rows", 0L) + deltaRows
-        val prevDelta = store.readTable(m, "frontier_delta")
         // fold only when there is something to fold: new delta rows, or a
         // log of more than one run (an empty epoch over an already-folded
-        // single run would rewrite identical bytes)
+        // single run would rewrite identical bytes). The prior log is
+        // deltaAll, already read ONCE for this epoch's schedule — a second
+        // readTable here would pay the delta list's file-listing + footer
+        // read again on every non-fold epoch for nothing
         val minorFold = compactDeltaEvery > 0 &&
           epoch % compactDeltaEvery == 0 &&
           (if (emptyDelta) m.tables.get("frontier_delta").exists(_.size > 1)
            else true) &&
-          (prevDelta.isDefined || !emptyDelta)
+          (deltaAll.isDefined || !emptyDelta)
         if (!minorFold) {
           store.commit(epoch,
             replace = robotsReplace,
@@ -937,7 +939,7 @@ final class EpochDriver(
           // O(delta window) bytes; the base is NEVER read or written here —
           // this is what lets the major O(pending) rewrite cadence stretch
           // while the delta list and the scheduler head stay compact.
-          val allDelta = (prevDelta, emptyDelta) match {
+          val allDelta = (deltaAll, emptyDelta) match {
             case (Some(p), false) => p.unionByName(deltaDf)
             case (Some(p), true) => p
             case (None, _) => deltaDf
@@ -1098,7 +1100,11 @@ final class EpochDriver(
     * reads them; only this full-history view does.
     */
   private def archive(m: store.Manifest): Option[DataFrame] =
-    m.tables.get("frontier_archive").filter(_.nonEmpty).map(_.map(p =>
+    m.tables.get("frontier_archive")
+      // a crash between a consolidation pass's renames and its swap commit
+      // leaves a fully-drained root still referenced; reading it per-root
+      // would fail schema inference on a file-less directory
+      .map(_.filter(store.hasDataFiles)).filter(_.nonEmpty).map(_.map(p =>
         spark.read.parquet(p).select(FrontierLog.Cols.map(col): _*))
       .reduce(_.unionByName(_)))
 

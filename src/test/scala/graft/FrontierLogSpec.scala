@@ -301,6 +301,44 @@ class FrontierLogSpec extends SparkSpecBase {
     // resume over a consolidated store is clean and stays bounded
     val a2 = mk(new SnapshotStore(aDir, spark), 2)
     assert(a2.runEpoch() == b.runEpoch(), "resume after consolidation diverged")
+
+    // files move AT MOST ONCE (the permanent-oldest-root target): six
+    // consolidation cycles must never stack a second r<i>- prefix — under
+    // the old newest-root target every cycle re-renamed the whole history
+    aStore.latest().get.tables("frontier_archive").foreach { root =>
+      Seq("state=fetched", "state=failed").foreach { st =>
+        val dir = new java.io.File(s"$root/$st")
+        Option(dir.list()).toSeq.flatten.foreach(n =>
+          assert(!n.matches("^r\\d+-r\\d+-.*"), s"re-renamed file $n"))
+      }
+    }
+
+    // crash window: a consolidation pass drains source roots by rename
+    // BEFORE its swap commit — simulate dying exactly there by draining
+    // one referenced root into another referenced root with the manifest
+    // untouched. The full-history view must skip the file-less root (a
+    // per-root parquet read would fail schema inference), and the rows are
+    // all still present in the other root
+    val mNow = aStore.latest().get
+    val viewBefore = a2.frontier().collect().map(_.toSeq).toSet
+    val rootsNow = mNow.tables("frontier_archive")
+    if (rootsNow.size >= 2) {
+      Seq("state=fetched", "state=failed").foreach(st =>
+        aStore.moveFilesInto(s"${rootsNow.last}/$st",
+          s"${rootsNow.head}/$st", "crash-"))
+      assert(a2.frontier().collect().map(_.toSeq).toSet == viewBefore,
+        "drained-but-referenced archive root broke the frontier view")
+    } else {
+      // cap 2 after an epoch without consolidation can be at one root;
+      // force the state instead: drain the single root into a fresh dir
+      // that the manifest does NOT reference — the view must then simply
+      // omit the archive rows rather than crash
+      Seq("state=fetched", "state=failed").foreach(st =>
+        aStore.moveFilesInto(s"${rootsNow.head}/$st",
+          s"${tmpDir()}/$st", "crash-"))
+      val rows = a2.frontier().collect() // must not throw
+      assert(rows.nonEmpty, "live frontier rows vanished with the archive")
+    }
   }
 
   test("frontier head: scheduler reads a head-sized slice, batch-exact across fold cycles") {
